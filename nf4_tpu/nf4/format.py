@@ -1,0 +1,167 @@
+"""TPU-native packed NF4 weight format.
+
+Design rationale (TPU-first, not a port of the reference's layout):
+
+The reference GPU package stores bitsandbytes' flat byte stream — byte ``j``
+of a row holds output columns ``2j`` (high nibble) and ``2j+1`` (low nibble)
+(reference ``kernel_optimized.py:100-110``).  Unpacking that layout requires
+*interleaving* adjacent elements, which is free on GPUs (per-thread scatter)
+but a cross-lane shuffle on a TPU's (sublane × lane) vector registers.
+
+We instead define a **split-half, K-major** layout so that unpacking is pure
+nibble arithmetic with no data movement:
+
+* The semantic weight is ``W[m, n]`` (``m`` = out_features, ``n`` =
+  in_features; NF4 blocks of 64 run along ``n``, exactly as in bitsandbytes).
+* Storage is transposed ("K x M"): inference always consumes ``W^T``
+  (reference ``benchmark.py:62-65`` transposes immediately after dequant),
+  and K-major puts the contraction dim on sublanes where the MXU wants it.
+* ``packed[j, r]`` (uint8, shape ``[n_pad//2, m_pad]``) holds
+  ``W^T[j, r]`` in its HIGH nibble and ``W^T[j + n_pad//2, r]`` in its LOW
+  nibble.  Extracting ``packed >> 4`` therefore yields the *contiguous* top
+  half of ``W^T`` and ``packed & 0xF`` the contiguous bottom half — no
+  interleave, ever.
+* ``scales[g, r]`` (fp32, shape ``[n_pad//64, m_pad]``) is the fully
+  dequantized per-block scale ``code2[absmax_u8]*absmax32 + offset`` for rows
+  ``[64g, 64g+64)`` of ``W^T``.  Precomputing the double dequantization once
+  at load time is exact (it is fp32 math either way) and shrinks the per-step
+  work to a single multiply; the scale array is ``m*n/16`` bytes = 1/8 the
+  packed weight.
+
+Padding: ``n`` is padded to a multiple of 1024 and ``m`` to a multiple of
+128.  The 1024 requirement makes every per-plane K-tile of 512+ rows cover
+at least eight 64-value scale blocks, which is the minimum sublane tile for
+a fp32 scale block in VMEM; every production Llama dim (2048, 4096, 8192,
+14336, 28672) is already 1024-aligned, so the padding only costs on toy
+shapes.  Padded regions carry scale 0, so they dequantize to exact 0.0 and
+contribute nothing to matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .lut import NF4_CODE, dynamic_code
+from .reference import (
+    ABSMAX_BLOCK,
+    NF4_BLOCK,
+    QuantState,
+    pack_nibbles,
+    quantize_nf4,
+    unpack_nibbles,
+)
+
+__all__ = [
+    "PackedNF4",
+    "pack_for_tpu",
+    "quantize_for_tpu",
+    "to_quant_state",
+    "pad_to",
+]
+
+
+def pad_to(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
+@struct.dataclass
+class PackedNF4:
+    """A single NF4-quantized weight in TPU-native layout (a JAX pytree)."""
+
+    packed: jax.Array  # uint8 [n_pad//2, m_pad]
+    scales: jax.Array  # fp32  [n_pad//64, m_pad]
+    shape: Tuple[int, int] = struct.field(pytree_node=False)  # logical (m, n)
+    padded_shape: Tuple[int, int] = struct.field(pytree_node=False)  # (m_pad, n_pad)
+    dtype: jnp.dtype = struct.field(pytree_node=False)  # output dtype
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nbytes(self) -> int:
+        return self.packed.size + self.scales.size * 4
+
+
+def _absmax_grid(state: QuantState) -> np.ndarray:
+    """Per-(row, block) fp32 scales [m, n//64] from a flat QuantState."""
+    from .reference import dequantize_absmax
+
+    m, n = state.shape
+    assert n % NF4_BLOCK == 0, f"in_features must be a multiple of 64, got {n}"
+    absmax = dequantize_absmax(state)  # [m*n/64]
+    return absmax.reshape(m, n // NF4_BLOCK)
+
+
+def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16) -> PackedNF4:
+    """Convert a flat (bitsandbytes-layout) QuantState to the TPU layout."""
+    m, n = state.shape
+    assert len(state.shape) == 2, "pack_for_tpu expects a 2D weight"
+    assert n % NF4_BLOCK == 0, f"in_features must be a multiple of 64, got {n}"
+
+    m_pad = pad_to(m, 128)
+    n_pad = pad_to(n, 1024)
+
+    idx = unpack_nibbles(state.packed, m * n).reshape(m, n)
+    scales = _absmax_grid(state)  # [m, n//64]
+
+    idx_p = np.zeros((m_pad, n_pad), dtype=np.uint8)
+    idx_p[:m, :n] = idx
+    scales_p = np.zeros((m_pad, n_pad // NF4_BLOCK), dtype=np.float32)
+    scales_p[:m, : n // NF4_BLOCK] = scales
+
+    idx_t = idx_p.T  # [n_pad, m_pad]
+    half = n_pad // 2
+    packed = ((idx_t[:half] << 4) | (idx_t[half:] & 0xF)).astype(np.uint8)
+    scales_t = scales_p.T.copy()  # [n_pad//64, m_pad]
+
+    return PackedNF4(
+        packed=jnp.asarray(packed),
+        scales=jnp.asarray(scales_t),
+        shape=(m, n),
+        padded_shape=(m_pad, n_pad),
+        dtype=jnp.dtype(dtype),
+    )
+
+
+def quantize_for_tpu(w: np.ndarray, dtype=jnp.bfloat16) -> PackedNF4:
+    """Quantize a dense [m, n] weight straight into the TPU layout."""
+    w = np.asarray(w, dtype=np.float32)
+    state = quantize_nf4(w, dtype=np.float16)
+    return pack_for_tpu(state, dtype=dtype)
+
+
+def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:
+    """Inverse of :func:`pack_for_tpu` (logical region only) for testing.
+
+    Reconstructs a flat-layout state whose *dequantized* output is identical.
+    The absmax stream is carried in uncompressed form (scales are already
+    fully dequantized in the TPU layout, so re-deriving uint8 codes would be
+    lossy); ``dequantize_nf4`` on the result is still bit-exact.
+    """
+    m, n = pw.shape
+    m_pad, n_pad = pw.padded_shape
+    packed = np.asarray(pw.packed)
+    half = n_pad // 2
+    idx_t = np.concatenate([(packed >> 4) & 0xF, packed & 0xF], axis=0)  # [n_pad, m_pad]
+    idx = idx_t.T[:m, :n]
+    scales = np.asarray(pw.scales).T[:m, : n // NF4_BLOCK]  # [m, n//64]
+    return QuantState(
+        packed=pack_nibbles(idx.ravel()),
+        absmax_u8=np.zeros(m * n // NF4_BLOCK, dtype=np.uint8),
+        absmax32=scales.ravel().astype(np.float32),
+        offset=np.float32(0.0),
+        shape=(m, n),
+        dtype=np.dtype(np_dtype),
+        blocksize=NF4_BLOCK,
+        blocksize2=ABSMAX_BLOCK,
+    )

@@ -1,0 +1,132 @@
+"""NF4 dequantization kernels (Pallas TPU + jnp reference backend).
+
+Equivalent of the reference's kernel layer (``_nf4_dequantize_kernel_final``,
+reference ``kernel_optimized.py:11-110``) redesigned for TPU:
+
+* grid over (K-tile, M-tile, nibble-plane) instead of one program per
+  64-element block;
+* the split-half K-major layout (see ``nf4.format``) makes nibble extraction
+  shuffle-free: plane 0 is ``packed >> 4``, plane 1 is ``packed & 0xF``, and
+  each plane writes a *contiguous* output tile;
+* scales arrive fully double-dequantized (fp32) and are broadcast across
+  each 64-row block on the sublane dimension;
+* native output is ``W^T`` — every consumer of the reference dequantizes and
+  immediately transposes (reference ``benchmark.py:62-65``), so the TPU
+  build makes the transposed form the fast path.
+
+The jnp backend implements identical math as pure XLA ops; it is the
+cross-check oracle on CPU (the analog of the reference's eager-PyTorch
+backend, ``kernel_optimized.py:208-314``, minus its per-block host loops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nf4.format import PackedNF4
+from ..nf4.reference import NF4_BLOCK
+from ..utils import env
+from .lut_eval import nf4_lookup
+
+__all__ = ["dequantize", "dequantize_t"]
+
+
+def _pick_tile(size: int, candidates) -> int:
+    for c in candidates:
+        if size % c == 0:
+            return c
+    raise ValueError(f"no tile in {candidates} divides {size}")
+
+
+def _expand_scales_sublane(s: jnp.ndarray, block: int, rows: int) -> jnp.ndarray:
+    """[rows//block, cols] -> [rows, cols] by repeating each row `block` times.
+
+    Expressed as broadcast + reshape (a sublane-major merge) rather than
+    ``jnp.repeat``, which lowers to an unsupported scatter in Pallas TPU.
+    """
+    nb, cols = s.shape
+    expanded = jnp.broadcast_to(s[:, None, :], (nb, block, cols))
+    return expanded.reshape(rows, cols)
+
+
+def _dequant_kernel(p_ref, s_ref, o_ref):
+    h = pl.program_id(2)
+    b = p_ref[:].astype(jnp.int32)
+    nib = jnp.where(h == 0, (b >> 4) & 0xF, b & 0xF)
+    vals = nf4_lookup(nib)
+    sexp = _expand_scales_sublane(s_ref[:], NF4_BLOCK, vals.shape[0])
+    o_ref[:] = (vals * sexp).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def _dequant_t_pallas(packed, scales, dtype, interpret):
+    # Mosaic has no f16 storage type; emit fp32 from the kernel and let XLA
+    # cast outside (bit-identical: fp32->fp16 is round-to-nearest-even in
+    # both).  bf16 is TPU-native and written directly.
+    kernel_dtype = jnp.float32 if dtype == jnp.float16 else dtype
+    khalf, m_pad = packed.shape
+    # Tile budget: the kernel's fp32 intermediates (nibbles/values/scales)
+    # are 3 x 4B per element, so (512, 256) blocks stay well under the 16MB
+    # scoped-VMEM limit with double buffering; (1024, 512) blows it.
+    bks = _pick_tile(khalf, (512,))
+    bo = _pick_tile(m_pad, (256, 128))
+    nj = khalf // bks
+    grid = (nj, m_pad // bo, 2)
+
+    out = pl.pallas_call(
+        _dequant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bks, bo), lambda j, o, h: (j, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bks // NF4_BLOCK, bo),
+                lambda j, o, h, _nj=nj: (j + h * _nj, o),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bks, bo), lambda j, o, h, _nj=nj: (j + h * _nj, o), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), kernel_dtype),
+        interpret=interpret,
+    )(packed, scales)
+    return out.astype(dtype) if kernel_dtype != dtype else out
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _dequant_t_jnp(packed, scales, dtype):
+    b = packed.astype(jnp.int32)
+    idx_t = jnp.concatenate([(b >> 4) & 0xF, b & 0xF], axis=0)  # [n_pad, m_pad]
+    vals = nf4_lookup(idx_t)
+    sexp = _expand_scales_sublane(scales, NF4_BLOCK, vals.shape[0])
+    return (vals * sexp).astype(dtype)
+
+
+def dequantize_t(pw: PackedNF4, dtype=None) -> jax.Array:
+    """Dequantize to ``W^T`` of logical shape [n, m] (the native fast path)."""
+    dtype = jnp.dtype(dtype) if dtype is not None else pw.dtype
+    if env.backend() == "pallas":
+        out = _dequant_t_pallas(pw.packed, pw.scales, dtype, env.use_interpret())
+    else:
+        out = _dequant_t_jnp(pw.packed, pw.scales, dtype)
+    m, n = pw.shape
+    m_pad, n_pad = pw.padded_shape
+    if (m, n) != (m_pad, n_pad):
+        out = out[:n, :m]
+    return out
+
+
+def dequantize(pw: PackedNF4, dtype=None) -> jax.Array:
+    """Dequantize to the logical [m, n] weight (reference-parity orientation).
+
+    Mirrors the reference entry point's output contract
+    (``triton_dequantize_nf4 -> Tensor[m, n]``, reference
+    ``kernel_optimized.py:189``); the transpose is a plain XLA op on top of
+    the native transposed kernel.
+    """
+    return dequantize_t(pw, dtype=dtype).T

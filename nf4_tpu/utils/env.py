@@ -1,0 +1,69 @@
+"""Runtime configuration via environment variables — implemented, not just
+documented.
+
+The reference package *documents* env-var configuration (``NF4_USE_TRITON``
+etc., reference ``README.md:78-80``, ``DIAGNOSTICS.md:101-106``) but contains
+no ``os.environ`` read anywhere; its only real dispatch is on CUDA compute
+capability (reference ``kernel_optimized.py:130-136``).  Here the flags are
+real:
+
+* ``NF4TPU_BACKEND``: ``auto`` (default) | ``pallas`` | ``jnp``.
+  ``auto`` selects the Pallas kernels on TPU and the jnp reference path
+  elsewhere — the TPU analog of the reference's hardware dispatch.
+* ``NF4TPU_INTERPRET``: ``1`` forces Pallas interpreter mode (debugging; the
+  TPU analog of the reference's diagnostics fallback).
+* ``NF4TPU_MATMUL_TILE``: override fused-matmul tile sizes as ``bm,bks,bo``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+__all__ = [
+    "backend",
+    "use_interpret",
+    "on_tpu",
+    "matmul_tile_override",
+]
+
+_VALID_BACKENDS = ("auto", "pallas", "jnp")
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def backend() -> str:
+    """Resolve the active compute backend: 'pallas' or 'jnp'."""
+    choice = os.environ.get("NF4TPU_BACKEND", "auto").lower()
+    if choice not in _VALID_BACKENDS:
+        raise ValueError(
+            f"NF4TPU_BACKEND={choice!r} invalid; expected one of {_VALID_BACKENDS}"
+        )
+    if choice == "auto":
+        return "pallas" if on_tpu() else "jnp"
+    return choice
+
+
+def use_interpret() -> bool:
+    """Whether Pallas kernels should run in interpreter mode.
+
+    Explicit via NF4TPU_INTERPRET, or implied when the Pallas backend is
+    requested on a non-TPU platform (e.g. kernel tests on a CPU host).
+    """
+    if os.environ.get("NF4TPU_INTERPRET", "0") == "1":
+        return True
+    return not on_tpu()
+
+
+def matmul_tile_override() -> Optional[tuple]:
+    raw = os.environ.get("NF4TPU_MATMUL_TILE")
+    if not raw:
+        return None
+    parts = tuple(int(p) for p in raw.split(","))
+    if len(parts) != 3:
+        raise ValueError("NF4TPU_MATMUL_TILE must be 'bm,bks,bo'")
+    return parts
