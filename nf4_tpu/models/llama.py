@@ -1,0 +1,365 @@
+"""Llama-family model stack over NF4-quantized weights (functional JAX).
+
+The reference package's only "model" is a benchmark-harness MLP of three
+``Linear4bit`` layers mirroring Llama's gated MLP (reference
+``benchmark.py:38-50``).  The TPU build supplies the full decoder: RMSNorm,
+rotary embeddings, GQA attention, SwiGLU MLP, tied into prefill/decode entry
+points, with every linear projection running through the fused NF4
+dequant-matmul kernel so packed weights never materialize in HBM.
+
+Design notes (TPU-first):
+
+* Pure functional: parameters are flax.struct pytrees, entry points are
+  jit-able functions of (params, inputs).  No module framework state.
+* All decoder layers are *stacked* (a leading ``num_layers`` axis on every
+  leaf) and iterated with ``jax.lax.scan`` — one trace/compile of the layer
+  body regardless of depth, the XLA-idiomatic way to express depth.
+* Attention softmax and RMSNorm accumulate in fp32; activations are bf16.
+* The KV cache is a fixed-shape ring of ``[L, B, KV, S_max, D]`` buffers
+  updated with per-sequence positions (continuous-batching friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..nf4.format import PackedNF4, quantize_for_tpu
+from ..ops.matmul import nf4_matmul
+
+__all__ = [
+    "LlamaConfig",
+    "LlamaParams",
+    "LayerParams",
+    "KVCache",
+    "init_params",
+    "quantize_dense_params",
+    "init_kv_cache",
+    "forward",
+    "prefill",
+    "decode_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Static architecture description (hashable; safe as a jit static arg)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int = 64
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    max_seq_len: int = 2048
+    dtype: Any = jnp.bfloat16
+    quantize: bool = True  # NF4-quantize the linear projections
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+Weight = Any  # PackedNF4 (quantized) or jax.Array (dense)
+
+
+@struct.dataclass
+class LayerParams:
+    wq: Weight
+    wk: Weight
+    wv: Weight
+    wo: Weight
+    w_gate: Weight
+    w_up: Weight
+    w_down: Weight
+    input_norm: jax.Array  # [hidden]
+    post_attn_norm: jax.Array  # [hidden]
+
+
+@struct.dataclass
+class LlamaParams:
+    embed: jax.Array  # [vocab, hidden] dense (bnb never quantizes embeddings)
+    layers: LayerParams  # stacked: every leaf has leading [num_layers]
+    final_norm: jax.Array  # [hidden]
+    lm_head: jax.Array  # [vocab, hidden] dense (HF 4-bit keeps lm_head dense)
+
+
+@struct.dataclass
+class KVCache:
+    k: jax.Array  # [L, B, KV, S_max, D]
+    v: jax.Array  # [L, B, KV, S_max, D]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[3]
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+
+
+def _linear(w: np.ndarray, cfg: LlamaConfig) -> Weight:
+    if cfg.quantize:
+        return quantize_for_tpu(w, dtype=cfg.dtype)
+    return jnp.asarray(w, dtype=cfg.dtype)
+
+
+def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
+    """Random-init a model (host-side numpy), quantizing per cfg.quantize.
+
+    Layers are built per-depth then stacked leaf-wise so the result is
+    directly scannable.
+    """
+    rng = np.random.default_rng(seed)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+
+    def dense(mo, ni):
+        return (rng.standard_normal((mo, ni)) * (ni**-0.5)).astype(np.float32)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append(
+            LayerParams(
+                wq=_linear(dense(cfg.q_dim, h), cfg),
+                wk=_linear(dense(cfg.kv_dim, h), cfg),
+                wv=_linear(dense(cfg.kv_dim, h), cfg),
+                wo=_linear(dense(h, cfg.q_dim), cfg),
+                w_gate=_linear(dense(inter, h), cfg),
+                w_up=_linear(dense(inter, h), cfg),
+                w_down=_linear(dense(h, inter), cfg),
+                input_norm=jnp.ones((h,), dtype=jnp.float32),
+                post_attn_norm=jnp.ones((h,), dtype=jnp.float32),
+            )
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return LlamaParams(
+        embed=jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, h)) * 0.02, dtype=cfg.dtype
+        ),
+        layers=stacked,
+        final_norm=jnp.ones((h,), dtype=jnp.float32),
+        lm_head=jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, h)) * (h**-0.5), dtype=cfg.dtype
+        ),
+    )
+
+
+def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_norm, lm_head) -> LlamaParams:
+    """Assemble LlamaParams from host-side dense per-layer weight dicts.
+
+    ``dense_layers[i]`` maps {"wq","wk","wv","wo","w_gate","w_up","w_down",
+    "input_norm","post_attn_norm"} to numpy arrays; linears are quantized.
+    """
+    built = []
+    for lw in dense_layers:
+        built.append(
+            LayerParams(
+                wq=_linear(lw["wq"], cfg),
+                wk=_linear(lw["wk"], cfg),
+                wv=_linear(lw["wv"], cfg),
+                wo=_linear(lw["wo"], cfg),
+                w_gate=_linear(lw["w_gate"], cfg),
+                w_up=_linear(lw["w_up"], cfg),
+                w_down=_linear(lw["w_down"], cfg),
+                input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
+                post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
+            )
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
+    return LlamaParams(
+        embed=jnp.asarray(embed, dtype=cfg.dtype),
+        layers=stacked,
+        final_norm=jnp.asarray(final_norm, dtype=jnp.float32),
+        lm_head=jnp.asarray(lm_head, dtype=cfg.dtype),
+    )
+
+
+def init_kv_cache(cfg: LlamaConfig, batch_size: int, dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (
+        cfg.num_layers,
+        batch_size,
+        cfg.num_kv_heads,
+        cfg.max_seq_len,
+        cfg.head_dim,
+    )
+    return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+
+
+def _matmul(x: jax.Array, w: Weight) -> jax.Array:
+    if isinstance(w, PackedNF4):
+        return nf4_matmul(x, w)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight).astype(x.dtype)
+
+
+def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the HF 'rotate_half' convention; positions [...]"""
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
+    emb = jnp.concatenate([angles, angles], axis=-1)  # [..., D]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, H, S, D]; cos/sin: [B, S, D] (broadcast over heads)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(
+        x.dtype
+    )
+
+
+def _attention(q, k, v, mask, scale):
+    """q: [B,H,S,D]; k,v: [B,KV,T,D]; mask: [B,1,S,T] bool (True=visible)."""
+    b, nh, s, d = q.shape
+    nkv = k.shape[1]
+    group = nh // nkv
+    q = q.reshape(b, nkv, group, s, d)
+    scores = jnp.einsum(
+        "bkgsd,bktd->bkgst", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    scores = jnp.where(mask[:, :, None, :, :], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,bktd->bkgsd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, nh, s, d).astype(v.dtype)
+
+
+def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, k_cache, v_cache, positions, mask, cos, sin):
+    """One decoder layer. x: [B,S,H]; returns (x_out, k_cache, v_cache)."""
+    b, s, h = x.shape
+
+    attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
+    q = _matmul(attn_in, lp.wq).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = _matmul(attn_in, lp.wk).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = _matmul(attn_in, lp.wv).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+
+    q = q.transpose(0, 2, 1, 3)  # [B,H,S,D]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # Scatter new K/V into the cache at per-sequence positions.
+    def upd(cache, new):
+        # cache [B,KV,T,D], new [B,KV,S,D], positions [B,S]
+        def per_seq(c, n, pos):
+            return c.at[:, pos, :].set(n)  # advanced index on the T axis
+
+        return jax.vmap(per_seq)(cache, new, positions)
+
+    k_cache = upd(k_cache, k.astype(k_cache.dtype))
+    v_cache = upd(v_cache, v.astype(v_cache.dtype))
+
+    attn = _attention(q, k_cache, v_cache, mask, cfg.head_dim**-0.5)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
+    x = x + _matmul(attn, lp.wo)
+
+    mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps)
+    gate = _matmul(mlp_in, lp.w_gate)
+    up = _matmul(mlp_in, lp.w_up)
+    x = x + _matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, lp.w_down)
+    return x, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+
+
+def forward(
+    params: LlamaParams,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, S] int32
+    cache: KVCache,
+    positions: jax.Array,  # [B, S] int32 — absolute positions of `tokens`
+    seq_lens: jax.Array,  # [B] int32 — total visible length AFTER this step
+) -> Tuple[jax.Array, KVCache]:
+    """General step: embeds tokens, runs all layers via scan, returns logits.
+
+    Works for prefill (S = prompt length, positions = arange) and decode
+    (S = 1, positions = current index per sequence).
+    """
+    b, s = tokens.shape
+    t_max = cache.max_seq_len
+
+    x = params.embed[tokens]  # [B,S,H]
+    cos, sin = rope_tables(cfg, positions)
+
+    # Visibility: cache slot t is visible to query at absolute position p iff
+    # t <= p and t < seq_len.  (Slots beyond seq_len hold zeros/garbage.)
+    t_ids = jnp.arange(t_max)[None, None, :]  # [1,1,T]
+    vis = (t_ids <= positions[:, :, None]) & (t_ids < seq_lens[:, None, None])
+    mask = vis[:, None, :, :]  # [B,1,S,T]
+
+    def body(x, layer):
+        lp, k_c, v_c = layer
+        x, k_c, v_c = _layer_forward(
+            cfg, x, lp, k_c, v_c, positions, mask, cos, sin
+        )
+        return x, (k_c, v_c)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params.layers, cache.k, cache.v)
+    )
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    logits = jnp.dot(
+        x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, new_cache
+
+
+def prefill(params, cfg, tokens, cache=None):
+    """Process a full prompt [B, S]; returns (logits [B,S,V], cache)."""
+    b, s = tokens.shape
+    if cache is None:
+        cache = init_kv_cache(cfg, b)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+    return forward(params, cfg, tokens, cache, positions, seq_lens)
+
+
+def decode_step(params, cfg, token: jax.Array, cache: KVCache, positions: jax.Array):
+    """One token per sequence. token [B], positions [B] (index being written).
+
+    Returns (logits [B, V], cache).
+    """
+    tokens = token[:, None]
+    pos2 = positions[:, None]
+    seq_lens = positions + 1
+    logits, cache = forward(params, cfg, tokens, cache, pos2, seq_lens)
+    return logits[:, 0, :], cache

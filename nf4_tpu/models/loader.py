@@ -1,0 +1,212 @@
+"""Checkpoint loading: HF safetensors -> quantized LlamaParams.
+
+The reference package consumes weights already quantized in-process by
+bitsandbytes (no loading/saving of its own, SURVEY.md §5 "checkpoint /
+resume: absent").  The TPU build supplies the full path: load a dense HF
+Llama checkpoint from local safetensors shards, quantize each linear to NF4
+(bit-exact bnb semantics via the oracle), and also save/load the *packed*
+TPU format so a model is quantized once and reloaded fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+
+from .llama import LlamaConfig, LlamaParams, quantize_dense_params
+
+__all__ = [
+    "load_hf_llama",
+    "save_packed",
+    "load_packed",
+    "hf_config_to_llama",
+]
+
+
+def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
+    """Translate an HF ``config.json`` into a LlamaConfig."""
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
+    kwargs = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        head_dim=head_dim,
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        max_seq_len=min(int(hf.get("max_position_embeddings", 2048)), 8192),
+    )
+    kwargs.update(overrides)
+    return LlamaConfig(**kwargs)
+
+
+def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
+    from safetensors import safe_open
+
+    files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_dir}")
+    for fname in files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for key in f.keys():
+                yield key, f.get_tensor(key)
+
+
+_HF_LAYER_RE = re.compile(r"model\.layers\.(\d+)\.(.+)")
+
+_HF_TO_OURS = {
+    "self_attn.q_proj.weight": "wq",
+    "self_attn.k_proj.weight": "wk",
+    "self_attn.v_proj.weight": "wv",
+    "self_attn.o_proj.weight": "wo",
+    "mlp.gate_proj.weight": "w_gate",
+    "mlp.up_proj.weight": "w_up",
+    "mlp.down_proj.weight": "w_down",
+    "input_layernorm.weight": "input_norm",
+    "post_attention_layernorm.weight": "post_attn_norm",
+}
+
+
+def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[LlamaParams, LlamaConfig]:
+    """Load a local HF Llama checkpoint directory and quantize to NF4.
+
+    Reads ``config.json`` + ``*.safetensors``; tied embeddings are handled
+    (lm_head falls back to the embedding matrix when absent).
+    """
+    if cfg is None:
+        cfg = hf_config_to_llama(os.path.join(model_dir, "config.json"))
+
+    layer_weights: Dict[int, Dict[str, np.ndarray]] = {
+        i: {} for i in range(cfg.num_layers)
+    }
+    embed = final_norm = lm_head = None
+
+    for key, tensor in _iter_safetensors(model_dir):
+        tensor = np.asarray(tensor)
+        if key == "model.embed_tokens.weight":
+            embed = tensor
+        elif key == "model.norm.weight":
+            final_norm = tensor
+        elif key == "lm_head.weight":
+            lm_head = tensor
+        else:
+            m = _HF_LAYER_RE.match(key)
+            if not m:
+                continue
+            idx, sub = int(m.group(1)), m.group(2)
+            ours = _HF_TO_OURS.get(sub)
+            if ours is not None and idx < cfg.num_layers:
+                layer_weights[idx][ours] = tensor
+
+    if embed is None or final_norm is None:
+        raise ValueError(f"checkpoint at {model_dir} missing embed/final norm")
+    if lm_head is None:
+        lm_head = embed  # tied embeddings
+
+    dense_layers = [layer_weights[i] for i in range(cfg.num_layers)]
+    for i, lw in enumerate(dense_layers):
+        missing = set(_HF_TO_OURS.values()) - set(lw)
+        if missing:
+            raise ValueError(f"layer {i} missing tensors: {sorted(missing)}")
+
+    params = quantize_dense_params(dense_layers, cfg, embed, final_norm, lm_head)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Packed-format persistence (quantize once, reload fast)
+
+
+_LINEAR_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_NORM_FIELDS = ("input_norm", "post_attn_norm")
+
+
+def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
+    """Persist quantized params (packed bytes + scales) to an .npz archive.
+
+    Explicit per-field schema: ``layers.<name>.packed`` / ``.scales`` for
+    quantized linears (stacked over the layer axis), ``layers.<name>`` for
+    norms, top-level ``embed`` / ``final_norm`` / ``lm_head``.
+    """
+    from ..nf4.format import PackedNF4
+
+    arrays: Dict[str, np.ndarray] = {
+        "embed": np.asarray(params.embed),
+        "final_norm": np.asarray(params.final_norm),
+        "lm_head": np.asarray(params.lm_head),
+    }
+    shapes: Dict[str, Tuple[int, int]] = {}
+    for name in _LINEAR_FIELDS:
+        w = getattr(params.layers, name)
+        if isinstance(w, PackedNF4):
+            arrays[f"layers.{name}.packed"] = np.asarray(w.packed)
+            arrays[f"layers.{name}.scales"] = np.asarray(w.scales)
+            shapes[name] = list(w.shape)
+        else:
+            arrays[f"layers.{name}"] = np.asarray(w)
+    for name in _NORM_FIELDS:
+        arrays[f"layers.{name}"] = np.asarray(getattr(params.layers, name))
+
+    # np.savez has no bfloat16 support: store such arrays as uint16 bit
+    # patterns and record the true dtype.
+    dtypes: Dict[str, str] = {}
+    for key, arr in list(arrays.items()):
+        if arr.dtype.names is None and str(arr.dtype) == "bfloat16":
+            arrays[key] = arr.view(np.uint16)
+            dtypes[key] = "bfloat16"
+
+    meta = {"shapes": shapes, "dtypes": dtypes, "dtype": str(np.dtype(cfg.dtype).name)}
+    np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
+    """Reload params saved by :func:`save_packed`."""
+    import jax.numpy as jnp
+
+    from ..nf4.format import PackedNF4
+    from .llama import LayerParams
+
+    import ml_dtypes
+
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+
+        def get(key):
+            arr = data[key]
+            if meta["dtypes"].get(key) == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16)
+            return jnp.asarray(arr)
+
+        fields = {}
+        for name in _LINEAR_FIELDS:
+            if f"layers.{name}.packed" in data:
+                packed = get(f"layers.{name}.packed")
+                scales = get(f"layers.{name}.scales")
+                m, n = meta["shapes"][name]
+                fields[name] = PackedNF4(
+                    packed=packed,
+                    scales=scales,
+                    shape=(m, n),
+                    padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
+                    dtype=jnp.dtype(cfg.dtype),
+                )
+            else:
+                fields[name] = get(f"layers.{name}")
+        for name in _NORM_FIELDS:
+            fields[name] = get(f"layers.{name}")
+        return LlamaParams(
+            embed=get("embed"),
+            layers=LayerParams(**fields),
+            final_norm=get("final_norm"),
+            lm_head=get("lm_head"),
+        )

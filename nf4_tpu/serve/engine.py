@@ -1,0 +1,205 @@
+"""Serving engine: continuous batching over fixed decode slots.
+
+The reference's only concurrency is three CUDA streams in its benchmark
+harness (reference ``benchmark.py:68-84``).  The TPU build supplies a real
+decode loop: a fixed batch of slots steps together every iteration (one
+jitted ``decode_step`` for the whole batch), finished sequences retire and
+their slots are immediately refilled from the pending queue (continuous
+batching), and per-slot prefills are written into the shared KV cache with a
+batch-dim scatter.
+
+Prompt lengths are bucketed to powers of two so the jitted prefill compiles
+once per bucket, not once per prompt length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    LlamaParams,
+    decode_step,
+    forward,
+    init_kv_cache,
+)
+from .sampling import SamplingParams, sample
+
+__all__ = ["Engine", "GenerationResult"]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    prompt: List[int]
+    tokens: List[int]  # generated tokens (without the prompt)
+    finished: bool  # True if EOS reached (False if max_new_tokens hit)
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Synchronous continuous-batching engine over a fixed slot count."""
+
+    def __init__(
+        self,
+        params: LlamaParams,
+        cfg: LlamaConfig,
+        batch_size: int = 8,
+        eos_token: int = 2,
+        sampling: SamplingParams = SamplingParams(),
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.eos_token = eos_token
+        self.sampling = sampling
+        self._key = jax.random.PRNGKey(seed)
+
+        self._decode = jax.jit(
+            functools.partial(decode_step, cfg=cfg), static_argnames=()
+        )
+        self._prefill_b1 = jax.jit(
+            functools.partial(self._prefill_impl, cfg=cfg),
+            static_argnames=("bucket",),
+        )
+
+    # -- jitted pieces ------------------------------------------------------
+
+    @staticmethod
+    def _prefill_impl(params, tokens, length, cache_k, cache_v, slot, *, cfg, bucket):
+        """Prefill one sequence (padded to `bucket`) into slot `slot` of the
+        shared cache; returns (last_logits [V], cache_k, cache_v)."""
+        positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+        seq_lens = jnp.full((1,), length, dtype=jnp.int32)
+        slot_cache = KVCache(
+            k=jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
+            v=jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1),
+        )
+        logits, new_cache = forward(
+            params, cfg, tokens[None, :], slot_cache, positions, seq_lens
+        )
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, new_cache.k, slot, axis=1
+        )
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, new_cache.v, slot, axis=1
+        )
+        last = logits[0, length - 1, :]
+        return last, cache_k, cache_v
+
+    # -- public API ---------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 64,
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[GenerationResult]:
+        """Generate completions for all prompts with continuous batching."""
+        sampling = sampling or self.sampling
+        cfg = self.cfg
+        B = self.batch_size
+
+        queue = list(range(len(prompts)))
+        results: List[Optional[GenerationResult]] = [None] * len(prompts)
+
+        cache = init_kv_cache(cfg, B)
+        cache_k, cache_v = cache.k, cache.v
+
+        # Per-slot host state.
+        slot_req = [-1] * B  # request index or -1 (idle)
+        slot_pos = np.zeros(B, dtype=np.int32)  # next position to write
+        slot_generated: List[List[int]] = [[] for _ in range(B)]
+        cur_token = np.zeros(B, dtype=np.int32)
+
+        def refill(slots_tokens):
+            """Assign queued requests to idle slots (prefill each)."""
+            nonlocal cache_k, cache_v
+            for s in range(B):
+                if slot_req[s] != -1 or not queue:
+                    continue
+                r = queue.pop(0)
+                prompt = list(prompts[r])
+                if len(prompt) == 0 or len(prompt) >= cfg.max_seq_len:
+                    results[r] = GenerationResult(prompt, [], True)
+                    continue
+                bucket = min(_bucket(len(prompt)), cfg.max_seq_len)
+                padded = np.zeros(bucket, dtype=np.int32)
+                padded[: len(prompt)] = prompt
+                last_logits, cache_k, cache_v = self._prefill_b1(
+                    self.params,
+                    jnp.asarray(padded),
+                    jnp.int32(len(prompt)),
+                    cache_k,
+                    cache_v,
+                    jnp.int32(s),
+                    bucket=bucket,
+                )
+                tok = self._sample(last_logits[None, :])[0]
+                slot_req[s] = r
+                slot_pos[s] = len(prompt)
+                slot_generated[s] = [int(tok)]
+                cur_token[s] = int(tok)
+
+        refill(None)
+
+        while any(r != -1 for r in slot_req) or queue:
+            # Retire finished slots, then refill.
+            for s in range(B):
+                r = slot_req[s]
+                if r == -1:
+                    continue
+                gen = slot_generated[s]
+                done_eos = gen and gen[-1] == self.eos_token
+                done_len = len(gen) >= max_new_tokens
+                done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
+                if done_eos or done_len or done_ctx:
+                    out = gen[:-1] if done_eos else gen
+                    results[r] = GenerationResult(
+                        list(prompts[r]), out, bool(done_eos)
+                    )
+                    slot_req[s] = -1
+                    slot_generated[s] = []
+            refill(None)
+            if not any(r != -1 for r in slot_req):
+                break
+
+            # One decode step for the whole batch (idle slots step harmlessly
+            # at position 0 and are ignored).
+            logits, new_cache = self._decode(
+                self.params,
+                token=jnp.asarray(cur_token),
+                cache=KVCache(k=cache_k, v=cache_v),
+                positions=jnp.asarray(slot_pos),
+            )
+            cache_k, cache_v = new_cache.k, new_cache.v
+            next_tok = np.asarray(self._sample(logits, sampling))
+
+            for s in range(B):
+                if slot_req[s] == -1:
+                    continue
+                slot_pos[s] += 1
+                slot_generated[s].append(int(next_tok[s]))
+                cur_token[s] = int(next_tok[s])
+
+        return [r for r in results if r is not None]
+
+    def _sample(self, logits: jax.Array, sampling: Optional[SamplingParams] = None):
+        sampling = sampling or self.sampling
+        if sampling.temperature == 0.0:
+            return sample(logits, sampling)
+        self._key, sub = jax.random.split(self._key)
+        return sample(logits, sampling, sub)

@@ -1,0 +1,49 @@
+"""Token sampling strategies (functional, jit-friendly)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SamplingParams", "sample"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0  # 0 => greedy
+    top_k: int = 0  # 0 => disabled
+    top_p: float = 1.0  # 1 => disabled
+
+
+def sample(
+    logits: jax.Array,  # [B, V] fp32
+    params: SamplingParams,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pick next tokens [B] from logits under the given strategy."""
+    if params.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    assert key is not None, "stochastic sampling requires a PRNG key"
+    logits = logits.astype(jnp.float32) / params.temperature
+
+    if params.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -params.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+
+    if params.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest prefix with cumulative mass >= top_p (always
+        # keep the top token).
+        keep = cum - probs < params.top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

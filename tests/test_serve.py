@@ -1,0 +1,112 @@
+"""Serving engine tests: continuous batching, sampling, determinism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nf4_tpu.models import configs
+from nf4_tpu.models.llama import init_params
+from nf4_tpu.serve.engine import Engine
+from nf4_tpu.serve.sampling import SamplingParams, sample
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    cfg = configs.TINY_TEST
+    params = init_params(cfg, seed=0)
+    return cfg, params
+
+
+class TestSampling:
+    def test_greedy(self):
+        logits = jnp.asarray([[0.1, 2.0, 0.5], [3.0, -1.0, 0.0]])
+        toks = sample(logits, SamplingParams(temperature=0.0))
+        np.testing.assert_array_equal(np.asarray(toks), [1, 0])
+
+    def test_temperature_valid_distribution(self):
+        key = jax.random.PRNGKey(0)
+        logits = jnp.asarray([[0.0, 10.0, 0.0]])
+        toks = [
+            int(sample(logits, SamplingParams(temperature=1.0), jax.random.fold_in(key, i))[0])
+            for i in range(20)
+        ]
+        # Overwhelmingly the argmax given the 10-logit gap.
+        assert sum(t == 1 for t in toks) >= 19
+
+    def test_top_k_restricts(self):
+        key = jax.random.PRNGKey(0)
+        logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        for i in range(20):
+            t = int(
+                sample(
+                    logits,
+                    SamplingParams(temperature=5.0, top_k=2),
+                    jax.random.fold_in(key, i),
+                )[0]
+            )
+            assert t in (2, 3)
+
+    def test_top_p_keeps_top_token(self):
+        key = jax.random.PRNGKey(0)
+        logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+        t = int(
+            sample(logits, SamplingParams(temperature=1.0, top_p=0.1), key)[0]
+        )
+        assert t == 0
+
+
+class TestEngine:
+    def test_greedy_generation_deterministic(self, engine_setup):
+        cfg, params = engine_setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        prompts = [[1, 2, 3], [4, 5]]
+        a = eng.generate(prompts, max_new_tokens=5)
+        b = eng.generate(prompts, max_new_tokens=5)
+        assert [r.tokens for r in a] == [r.tokens for r in b]
+        assert all(len(r.tokens) == 5 for r in a)
+
+    def test_continuous_batching_matches_sequential(self, engine_setup):
+        """More requests than slots: batched scheduling must produce the
+        same greedy outputs as one-at-a-time generation."""
+        cfg, params = engine_setup
+        prompts = [[1, 2, 3], [7, 8], [9], [10, 11, 12, 13]]
+
+        eng_batched = Engine(params, cfg, batch_size=2, eos_token=-1)
+        batched = eng_batched.generate(prompts, max_new_tokens=4)
+
+        eng_seq = Engine(params, cfg, batch_size=1, eos_token=-1)
+        sequential = []
+        for p in prompts:
+            sequential += eng_seq.generate([p], max_new_tokens=4)
+
+        assert [r.tokens for r in batched] == [r.tokens for r in sequential]
+
+    def test_eos_stops_generation(self, engine_setup):
+        cfg, params = engine_setup
+        eng = Engine(params, cfg, batch_size=1, eos_token=-1)
+        probe = eng.generate([[1, 2, 3]], max_new_tokens=6)[0]
+        assert len(probe.tokens) >= 2
+        eos = probe.tokens[1]  # force EOS = the 2nd generated token
+        eng2 = Engine(params, cfg, batch_size=1, eos_token=eos)
+        r = eng2.generate([[1, 2, 3]], max_new_tokens=6)[0]
+        assert r.finished
+        assert r.tokens == probe.tokens[:1]
+
+    def test_empty_and_overlong_prompts(self, engine_setup):
+        cfg, params = engine_setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        too_long = list(range(cfg.max_seq_len + 5))
+        rs = eng.generate([[], too_long, [1, 2]], max_new_tokens=3)
+        assert len(rs) == 3
+        assert rs[0].tokens == [] and rs[1].tokens == []
+        assert len(rs[2].tokens) == 3
+
+    def test_context_limit_respected(self, engine_setup):
+        cfg, params = engine_setup
+        eng = Engine(params, cfg, batch_size=1, eos_token=-1)
+        prompt = list(np.arange(cfg.max_seq_len - 3) % cfg.vocab_size)
+        r = eng.generate([prompt], max_new_tokens=50)[0]
+        # Can generate at most up to the context limit.
+        assert len(r.tokens) <= 3
