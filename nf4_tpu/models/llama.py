@@ -62,6 +62,9 @@ class LlamaConfig:
     max_seq_len: int = 2048
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
+    # Pack row-parallel weights (wo, w_down) in this many K-chunks so they
+    # can be contraction-sharded over a tensor-parallel mesh axis.
+    tp_shards: int = 1
 
     @property
     def q_dim(self) -> int:
@@ -114,9 +117,9 @@ class KVCache:
 # Parameter construction
 
 
-def _linear(w: np.ndarray, cfg: LlamaConfig) -> Weight:
+def _linear(w: np.ndarray, cfg: LlamaConfig, shards: int = 1) -> Weight:
     if cfg.quantize:
-        return quantize_for_tpu(w, dtype=cfg.dtype)
+        return quantize_for_tpu(w, dtype=cfg.dtype, shards=shards)
     return jnp.asarray(w, dtype=cfg.dtype)
 
 
@@ -139,10 +142,10 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
                 wq=_linear(dense(cfg.q_dim, h), cfg),
                 wk=_linear(dense(cfg.kv_dim, h), cfg),
                 wv=_linear(dense(cfg.kv_dim, h), cfg),
-                wo=_linear(dense(h, cfg.q_dim), cfg),
+                wo=_linear(dense(h, cfg.q_dim), cfg, shards=cfg.tp_shards),
                 w_gate=_linear(dense(inter, h), cfg),
                 w_up=_linear(dense(inter, h), cfg),
-                w_down=_linear(dense(h, inter), cfg),
+                w_down=_linear(dense(h, inter), cfg, shards=cfg.tp_shards),
                 input_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_attn_norm=jnp.ones((h,), dtype=jnp.float32),
             )
@@ -173,10 +176,10 @@ def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_nor
                 wq=_linear(lw["wq"], cfg),
                 wk=_linear(lw["wk"], cfg),
                 wv=_linear(lw["wv"], cfg),
-                wo=_linear(lw["wo"], cfg),
+                wo=_linear(lw["wo"], cfg, shards=cfg.tp_shards),
                 w_gate=_linear(lw["w_gate"], cfg),
                 w_up=_linear(lw["w_up"], cfg),
-                w_down=_linear(lw["w_down"], cfg),
+                w_down=_linear(lw["w_down"], cfg, shards=cfg.tp_shards),
                 input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
                 post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
             )
@@ -206,10 +209,11 @@ def init_kv_cache(cfg: LlamaConfig, batch_size: int, dtype=None) -> KVCache:
 # Building blocks
 
 
-def _matmul(x: jax.Array, w: Weight) -> jax.Array:
+def _matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
+    out_dtype = out_dtype or x.dtype
     if isinstance(w, PackedNF4):
-        return nf4_matmul(x, w)
-    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+        return nf4_matmul(x, w, out_dtype=out_dtype)
+    return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(out_dtype)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -258,8 +262,25 @@ def _attention(q, k, v, mask, scale):
     return out.reshape(b, nh, s, d).astype(v.dtype)
 
 
-def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, k_cache, v_cache, positions, mask, cos, sin):
-    """One decoder layer. x: [B,S,H]; returns (x_out, k_cache, v_cache)."""
+def _layer_forward(
+    cfg: LlamaConfig,
+    x,
+    lp: LayerParams,
+    k_cache,
+    v_cache,
+    positions,
+    mask,
+    cos,
+    sin,
+    reduce_fn=None,
+):
+    """One decoder layer. x: [B,S,H]; returns (x_out, k_cache, v_cache).
+
+    ``reduce_fn`` (e.g. a ``psum`` over the tensor-parallel axis) is applied
+    to the row-parallel projections (wo, w_down) before the residual add;
+    identity when running single-device.
+    """
+    reduce_fn = reduce_fn or (lambda t: t)
     b, s, h = x.shape
 
     attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
@@ -286,12 +307,15 @@ def _layer_forward(cfg: LlamaConfig, x, lp: LayerParams, k_cache, v_cache, posit
 
     attn = _attention(q, k_cache, v_cache, mask, cfg.head_dim**-0.5)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
-    x = x + _matmul(attn, lp.wo)
+    # Row-parallel projections: keep partials in fp32 through the TP psum,
+    # cast once after the reduction (matches single-device numerics).
+    x = x + reduce_fn(_matmul(attn, lp.wo, out_dtype=jnp.float32)).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps)
     gate = _matmul(mlp_in, lp.w_gate)
     up = _matmul(mlp_in, lp.w_up)
-    x = x + _matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up, lp.w_down)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
     return x, k_cache, v_cache
 
 
@@ -306,11 +330,15 @@ def forward(
     cache: KVCache,
     positions: jax.Array,  # [B, S] int32 — absolute positions of `tokens`
     seq_lens: jax.Array,  # [B] int32 — total visible length AFTER this step
+    reduce_fn=None,
 ) -> Tuple[jax.Array, KVCache]:
     """General step: embeds tokens, runs all layers via scan, returns logits.
 
     Works for prefill (S = prompt length, positions = arange) and decode
-    (S = 1, positions = current index per sequence).
+    (S = 1, positions = current index per sequence).  Under tensor
+    parallelism, ``cfg`` describes the per-device slice (heads /
+    intermediate / vocab divided by the TP degree), ``reduce_fn`` is the
+    TP psum, and the returned logits cover the local lm_head shard.
     """
     b, s = tokens.shape
     t_max = cache.max_seq_len
@@ -327,7 +355,7 @@ def forward(
     def body(x, layer):
         lp, k_c, v_c = layer
         x, k_c, v_c = _layer_forward(
-            cfg, x, lp, k_c, v_c, positions, mask, cos, sin
+            cfg, x, lp, k_c, v_c, positions, mask, cos, sin, reduce_fn
         )
         return x, (k_c, v_c)
 

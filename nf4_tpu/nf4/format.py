@@ -71,13 +71,23 @@ def pad_to(x: int, multiple: int) -> int:
 
 @struct.dataclass
 class PackedNF4:
-    """A single NF4-quantized weight in TPU-native layout (a JAX pytree)."""
+    """A single NF4-quantized weight in TPU-native layout (a JAX pytree).
+
+    ``shards > 1`` means the K dimension is packed in ``shards`` independent
+    chunks (the split-half structure repeats per chunk): row ranges
+    ``[s * n_pad/(2*shards), ...)`` of ``packed`` hold chunk ``s`` of the
+    in-features dim.  Sharding such a weight over the first axis with
+    ``PartitionSpec('tp', None)`` hands each of ``shards`` devices a fully
+    self-contained packed chunk — the layout primitive behind row-parallel
+    (contraction-sharded) tensor parallelism.
+    """
 
     packed: jax.Array  # uint8 [n_pad//2, m_pad]
     scales: jax.Array  # fp32  [n_pad//64, m_pad]
     shape: Tuple[int, int] = struct.field(pytree_node=False)  # logical (m, n)
     padded_shape: Tuple[int, int] = struct.field(pytree_node=False)  # (m_pad, n_pad)
     dtype: jnp.dtype = struct.field(pytree_node=False)  # output dtype
+    shards: int = struct.field(pytree_node=False, default=1)
 
     @property
     def out_features(self) -> int:
@@ -102,42 +112,87 @@ def _absmax_grid(state: QuantState) -> np.ndarray:
     return absmax.reshape(m, n // NF4_BLOCK)
 
 
-def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16) -> PackedNF4:
-    """Convert a flat (bitsandbytes-layout) QuantState to the TPU layout."""
+def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> PackedNF4:
+    """Convert a flat (bitsandbytes-layout) QuantState to the TPU layout.
+
+    ``shards``: pack the in-features dim as this many independent chunks
+    (each padded and split-half packed on its own) so the result can be
+    contraction-sharded over ``shards`` devices.  Exact: chunk boundaries
+    fall on 64-value block boundaries, so per-block scales are unchanged.
+    """
     m, n = state.shape
     assert len(state.shape) == 2, "pack_for_tpu expects a 2D weight"
     assert n % NF4_BLOCK == 0, f"in_features must be a multiple of 64, got {n}"
+    assert n % (shards * NF4_BLOCK) == 0, (
+        f"in_features {n} must split into {shards} chunks of whole 64-blocks"
+    )
 
+    n_chunk = n // shards
     m_pad = pad_to(m, 128)
-    n_pad = pad_to(n, 1024)
+    n_chunk_pad = pad_to(n_chunk, 1024)
+    n_pad = n_chunk_pad * shards
 
     idx = unpack_nibbles(state.packed, m * n).reshape(m, n)
     scales = _absmax_grid(state)  # [m, n//64]
 
-    idx_p = np.zeros((m_pad, n_pad), dtype=np.uint8)
-    idx_p[:m, :n] = idx
-    scales_p = np.zeros((m_pad, n_pad // NF4_BLOCK), dtype=np.float32)
-    scales_p[:m, : n // NF4_BLOCK] = scales
-
-    idx_t = idx_p.T  # [n_pad, m_pad]
-    half = n_pad // 2
-    packed = ((idx_t[:half] << 4) | (idx_t[half:] & 0xF)).astype(np.uint8)
-    scales_t = scales_p.T.copy()  # [n_pad//64, m_pad]
+    packed_chunks = []
+    scale_chunks = []
+    for s in range(shards):
+        idx_c = np.zeros((m_pad, n_chunk_pad), dtype=np.uint8)
+        idx_c[:m, :n_chunk] = idx[:, s * n_chunk : (s + 1) * n_chunk]
+        sc_c = np.zeros((m_pad, n_chunk_pad // NF4_BLOCK), dtype=np.float32)
+        sc_c[:m, : n_chunk // NF4_BLOCK] = scales[
+            :, s * (n_chunk // NF4_BLOCK) : (s + 1) * (n_chunk // NF4_BLOCK)
+        ]
+        idx_t = idx_c.T  # [n_chunk_pad, m_pad]
+        half = n_chunk_pad // 2
+        packed_chunks.append(((idx_t[:half] << 4) | (idx_t[half:] & 0xF)).astype(np.uint8))
+        scale_chunks.append(sc_c.T.copy())
 
     return PackedNF4(
-        packed=jnp.asarray(packed),
-        scales=jnp.asarray(scales_t),
+        packed=jnp.asarray(np.concatenate(packed_chunks, axis=0)),
+        scales=jnp.asarray(np.concatenate(scale_chunks, axis=0)),
         shape=(m, n),
         padded_shape=(m_pad, n_pad),
         dtype=jnp.dtype(dtype),
+        shards=shards,
     )
 
 
-def quantize_for_tpu(w: np.ndarray, dtype=jnp.bfloat16) -> PackedNF4:
+def quantize_for_tpu(w: np.ndarray, dtype=jnp.bfloat16, shards: int = 1) -> PackedNF4:
     """Quantize a dense [m, n] weight straight into the TPU layout."""
     w = np.asarray(w, dtype=np.float32)
     state = quantize_nf4(w, dtype=np.float16)
-    return pack_for_tpu(state, dtype=dtype)
+    return pack_for_tpu(state, dtype=dtype, shards=shards)
+
+
+def chunk_views(pw: PackedNF4) -> list:
+    """Split a shards>1 weight into per-chunk standalone PackedNF4 views.
+
+    Zero-copy on device: each view slices contiguous row ranges of the
+    packed/scale arrays.  Chunk s covers in-features [s*n/shards, ...).
+    """
+    if pw.shards == 1:
+        return [pw]
+    m, n = pw.shape
+    m_pad, n_pad = pw.padded_shape
+    n_chunk = n // pw.shards
+    n_chunk_pad = n_pad // pw.shards
+    half = n_chunk_pad // 2
+    srows = n_chunk_pad // NF4_BLOCK
+    views = []
+    for s in range(pw.shards):
+        views.append(
+            PackedNF4(
+                packed=jax.lax.slice_in_dim(pw.packed, s * half, (s + 1) * half, axis=0),
+                scales=jax.lax.slice_in_dim(pw.scales, s * srows, (s + 1) * srows, axis=0),
+                shape=(m, n_chunk),
+                padded_shape=(m_pad, n_chunk_pad),
+                dtype=pw.dtype,
+                shards=1,
+            )
+        )
+    return views
 
 
 def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:
@@ -150,11 +205,15 @@ def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:
     """
     m, n = pw.shape
     m_pad, n_pad = pw.padded_shape
-    packed = np.asarray(pw.packed)
-    half = n_pad // 2
-    idx_t = np.concatenate([(packed >> 4) & 0xF, packed & 0xF], axis=0)  # [n_pad, m_pad]
-    idx = idx_t.T[:m, :n]
-    scales = np.asarray(pw.scales).T[:m, : n // NF4_BLOCK]  # [m, n//64]
+    n_chunk = n // pw.shards
+    idx_parts, scale_parts = [], []
+    for view in chunk_views(pw):
+        packed = np.asarray(view.packed)
+        idx_t = np.concatenate([(packed >> 4) & 0xF, packed & 0xF], axis=0)
+        idx_parts.append(idx_t.T[:m, :n_chunk])
+        scale_parts.append(np.asarray(view.scales).T[:m, : n_chunk // NF4_BLOCK])
+    idx = np.concatenate(idx_parts, axis=1)
+    scales = np.concatenate(scale_parts, axis=1)  # [m, n//64]
     return QuantState(
         packed=pack_nibbles(idx.ravel()),
         absmax_u8=np.zeros(m * n // NF4_BLOCK, dtype=np.uint8),

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nf4.format import PackedNF4
 from ..nf4.reference import NF4_BLOCK
 from ..utils import env
-from .lut_eval import nf4_lookup
+from .lut_eval import nf4_lookup, nf4_lookup_gather, nf4_table_row
 
 __all__ = ["dequantize", "dequantize_t"]
 
@@ -54,17 +54,23 @@ def _expand_scales_sublane(s: jnp.ndarray, block: int, rows: int) -> jnp.ndarray
     return expanded.reshape(rows, cols)
 
 
-def _dequant_kernel(p_ref, s_ref, o_ref):
-    h = pl.program_id(2)
-    b = p_ref[:].astype(jnp.int32)
-    nib = jnp.where(h == 0, (b >> 4) & 0xF, b & 0xF)
-    vals = nf4_lookup(nib)
-    sexp = _expand_scales_sublane(s_ref[:], NF4_BLOCK, vals.shape[0])
-    o_ref[:] = (vals * sexp).astype(o_ref.dtype)
+def _make_dequant_kernel(lut_mode: str):
+    def kernel(p_ref, s_ref, lut_ref, o_ref):
+        h = pl.program_id(2)
+        b = p_ref[:].astype(jnp.int32)
+        nib = jnp.where(h == 0, (b >> 4) & 0xF, b & 0xF)
+        if lut_mode == "gather":
+            vals = nf4_lookup_gather(nib, lut_ref[:])
+        else:
+            vals = nf4_lookup(nib)
+        sexp = _expand_scales_sublane(s_ref[:], NF4_BLOCK, vals.shape[0])
+        o_ref[:] = (vals * sexp).astype(o_ref.dtype)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
-def _dequant_t_pallas(packed, scales, dtype, interpret):
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret", "lut_mode"))
+def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
     # Mosaic has no f16 storage type; emit fp32 from the kernel and let XLA
     # cast outside (bit-identical: fp32->fp16 is round-to-nearest-even in
     # both).  bf16 is TPU-native and written directly.
@@ -79,7 +85,7 @@ def _dequant_t_pallas(packed, scales, dtype, interpret):
     grid = (nj, m_pad // bo, 2)
 
     out = pl.pallas_call(
-        _dequant_kernel,
+        _make_dequant_kernel(lut_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bks, bo), lambda j, o, h: (j, o), memory_space=pltpu.VMEM),
@@ -88,13 +94,14 @@ def _dequant_t_pallas(packed, scales, dtype, interpret):
                 lambda j, o, h, _nj=nj: (j + h * _nj, o),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((1, 128), lambda j, o, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bks, bo), lambda j, o, h, _nj=nj: (j + h * _nj, o), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), kernel_dtype),
         interpret=interpret,
-    )(packed, scales)
+    )(packed, scales, jnp.asarray(nf4_table_row()))
     return out.astype(dtype) if kernel_dtype != dtype else out
 
 
@@ -109,9 +116,17 @@ def _dequant_t_jnp(packed, scales, dtype):
 
 def dequantize_t(pw: PackedNF4, dtype=None) -> jax.Array:
     """Dequantize to ``W^T`` of logical shape [n, m] (the native fast path)."""
+    if pw.shards > 1:
+        from ..nf4.format import chunk_views
+
+        return jnp.concatenate(
+            [dequantize_t(v, dtype=dtype) for v in chunk_views(pw)], axis=0
+        )
     dtype = jnp.dtype(dtype) if dtype is not None else pw.dtype
     if env.backend() == "pallas":
-        out = _dequant_t_pallas(pw.packed, pw.scales, dtype, env.use_interpret())
+        out = _dequant_t_pallas(
+            pw.packed, pw.scales, dtype, env.use_interpret(), env.lut_mode()
+        )
     else:
         out = _dequant_t_jnp(pw.packed, pw.scales, dtype)
     m, n = pw.shape

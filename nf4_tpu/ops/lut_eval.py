@@ -10,13 +10,46 @@ them, and each select's operands at the leaf level are scalar constants
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..nf4.lut import NF4_CODE
 
-__all__ = ["nf4_lookup"]
+__all__ = ["nf4_lookup", "nf4_lookup_gather", "nf4_table_row"]
 
 _C = [float(v) for v in NF4_CODE]
+
+
+def nf4_table_row() -> np.ndarray:
+    """The NF4 codebook padded into a (1, 128) fp32 row.
+
+    Layout for the TPU's per-vreg dynamic-gather unit: entries 0..15 hold the
+    codebook, the rest is zero (indices are always < 16).
+    """
+    row = np.zeros((1, 128), dtype=np.float32)
+    row[0, :16] = NF4_CODE
+    return row
+
+
+def nf4_lookup_gather(nibble: jnp.ndarray, lut_row: jnp.ndarray) -> jnp.ndarray:
+    """Hardware-gather codebook lookup (Mosaic ``tpu.dynamic_gather``).
+
+    ``lut_row``: (1, 128) fp32 from :func:`nf4_table_row` (a kernel input —
+    Pallas kernels cannot capture constants).  The gather unit permutes
+    within one 128-lane vreg, so the lookup is applied per 128-lane chunk of
+    the last dim; chunk slicing at 128 boundaries is vreg-aligned and free.
+    """
+    rows, cols = nibble.shape
+    assert cols % 128 == 0, f"lane dim {cols} must be a multiple of 128"
+    table = jnp.broadcast_to(lut_row[0:1, :], (rows, 128))
+    if cols == 128:
+        return jnp.take_along_axis(table, nibble, axis=1)
+    chunks = [
+        jnp.take_along_axis(table, nibble[:, c : c + 128], axis=1)
+        for c in range(0, cols, 128)
+    ]
+    return jnp.concatenate(chunks, axis=1)
 
 
 def nf4_lookup(nibble: jnp.ndarray) -> jnp.ndarray:

@@ -30,54 +30,64 @@ from ..nf4.format import PackedNF4, pad_to
 from ..nf4.reference import NF4_BLOCK
 from ..utils import env
 from .dequant import _dequant_t_jnp, _expand_scales_sublane, _pick_tile
-from .lut_eval import nf4_lookup
+from .lut_eval import nf4_lookup, nf4_lookup_gather, nf4_table_row
 
 __all__ = ["nf4_matmul"]
 
 
-def _matmul_kernel(xh_ref, xl_ref, p_ref, sh_ref, sl_ref, o_ref, acc_ref):
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
+def _make_matmul_kernel(lut_mode: str):
+    def kernel(xh_ref, xl_ref, p_ref, sh_ref, sl_ref, lut_ref, o_ref, acc_ref):
+        ik = pl.program_id(2)
+        nk = pl.num_programs(2)
 
-    @pl.when(ik == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(ik == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = p_ref[:].astype(jnp.int32)
-    rows = b.shape[0]
-    compute_dtype = xh_ref.dtype
-    # fp32 activations get full-precision MXU passes; bf16 runs at full rate.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+        b = p_ref[:].astype(jnp.int32)
+        rows = b.shape[0]
+        compute_dtype = xh_ref.dtype
+        # fp32 activations get full-precision MXU passes; bf16 full rate.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
 
-    wh = nf4_lookup((b >> 4) & 0xF) * _expand_scales_sublane(
-        sh_ref[:], NF4_BLOCK, rows
-    )
-    wl = nf4_lookup(b & 0xF) * _expand_scales_sublane(sl_ref[:], NF4_BLOCK, rows)
+        if lut_mode == "gather":
+            lut = lut_ref[:]
+            vh = nf4_lookup_gather((b >> 4) & 0xF, lut)
+            vl = nf4_lookup_gather(b & 0xF, lut)
+        else:
+            vh = nf4_lookup((b >> 4) & 0xF)
+            vl = nf4_lookup(b & 0xF)
+        wh = vh * _expand_scales_sublane(sh_ref[:], NF4_BLOCK, rows)
+        wl = vl * _expand_scales_sublane(sl_ref[:], NF4_BLOCK, rows)
 
-    acc_ref[:] += jnp.dot(
-        xh_ref[:],
-        wh.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    acc_ref[:] += jnp.dot(
-        xl_ref[:],
-        wl.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+        acc_ref[:] += jnp.dot(
+            xh_ref[:],
+            wh.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        acc_ref[:] += jnp.dot(
+            xl_ref[:],
+            wl.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
 
-    @pl.when(ik == nk - 1)
-    def _store():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        @pl.when(ik == nk - 1)
+        def _store():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "tiles", "interpret"))
-def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tiles", "interpret", "lut_mode")
+)
+def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret, lut_mode):
     bm, bks, bo = tiles
     b_pad = x_pad.shape[0]
     khalf, m_pad = packed.shape
@@ -89,7 +99,7 @@ def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret):
         x_pad = x_pad.astype(jnp.float32)
 
     out = pl.pallas_call(
-        _matmul_kernel,
+        _make_matmul_kernel(lut_mode),
         grid=(nb, no, nk),
         in_specs=[
             pl.BlockSpec((bm, bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM),
@@ -105,6 +115,7 @@ def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret):
                 lambda b, o, k, _nk=nk: (k + _nk, o),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((1, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bo), lambda b, o, k: (b, o), memory_space=pltpu.VMEM
@@ -112,7 +123,7 @@ def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret):
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), kernel_out),
         scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
         interpret=interpret,
-    )(x_pad, x_pad, packed, scales, scales)
+    )(x_pad, x_pad, packed, scales, scales, jnp.asarray(nf4_table_row()))
     return out.astype(out_dtype) if kernel_out != out_dtype else out
 
 
@@ -134,6 +145,18 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
     result has the same leading shape with trailing dim ``m``.
     """
     m, n = pw.shape
+    if pw.shards > 1:
+        from ..nf4.format import chunk_views
+
+        n_chunk = n // pw.shards
+        parts = [
+            nf4_matmul(
+                x[..., s * n_chunk : (s + 1) * n_chunk], v, out_dtype=out_dtype
+            )
+            for s, v in enumerate(chunk_views(pw))
+        ]
+        return sum(parts[1:], parts[0])
+
     m_pad, n_pad = pw.padded_shape
     *batch, xn = x.shape
     assert xn == n, f"x trailing dim {xn} != in_features {n}"
@@ -157,7 +180,13 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
         if override:
             bm, bks, bo = override
         y = _matmul_pallas(
-            x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), env.use_interpret()
+            x2,
+            pw.packed,
+            pw.scales,
+            out_dtype,
+            (bm, bks, bo),
+            env.use_interpret(),
+            env.lut_mode(),
         )
     else:
         y = _matmul_jnp(x2, pw.packed, pw.scales, out_dtype)

@@ -1,0 +1,242 @@
+"""Tensor parallelism for packed NF4 weights over a named mesh.
+
+The TPU equivalent of the distributed layer the reference never had
+(SURVEY.md §2.2: the reference's only concurrency is a Triton launch grid and
+three benchmark-harness CUDA streams).  Sharding strategy (Megatron-style,
+expressed with jax.shard_map so the Pallas kernels run on per-device local
+chunks with explicit XLA collectives over ICI):
+
+* Column-parallel (shard out_features -> the LANE dim of the packed layout):
+  wq, wk, wv, w_gate, w_up.  Attention heads land contiguously per device.
+* Row-parallel (shard in_features -> whole K-chunks of the packed layout,
+  enabled by ``PackedNF4.shards``): wo, w_down, followed by a ``psum``.
+  One psum per attention block + one per MLP — the minimum for this mapping.
+* lm_head: vocab-sharded; logits return vocab-sharded and XLA inserts the
+  gather only if a consumer needs it (argmax sampling reduces locally).
+* KV cache: sharded over heads — each device attends only its own heads, so
+  decode attention needs no collectives at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import (
+    KVCache,
+    LayerParams,
+    LlamaConfig,
+    LlamaParams,
+    forward,
+    init_kv_cache,
+)
+from ..nf4.format import PackedNF4
+
+__all__ = [
+    "tp_local_config",
+    "localize_params",
+    "param_specs",
+    "shard_params",
+    "cache_spec",
+    "tp_forward",
+    "tp_prefill",
+    "tp_decode_step",
+]
+
+_COL_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")
+_ROW_PARALLEL = ("wo", "w_down")
+_REPLICATED = ("input_norm", "post_attn_norm")
+
+
+def tp_local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """The per-device slice of the architecture."""
+    assert cfg.num_heads % tp == 0, f"num_heads {cfg.num_heads} % tp {tp} != 0"
+    assert cfg.num_kv_heads % tp == 0, (
+        f"num_kv_heads {cfg.num_kv_heads} % tp {tp} != 0 "
+        "(KV-head replication not yet supported)"
+    )
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp,
+        tp_shards=1,
+    )
+
+
+def _localize_weight(w, tp: int, kind: str):
+    """Rewrite PackedNF4 static metadata from global to per-device shapes."""
+    if not isinstance(w, PackedNF4):
+        return w  # dense arrays carry their shape in the leaf itself
+    m, n = w.shape
+    m_pad, n_pad = w.padded_shape
+    if kind == "col":
+        assert m % tp == 0 and m_pad % (tp * 128) == 0, (
+            f"out_features {m} (padded {m_pad}) not col-shardable over {tp}"
+        )
+        return w.replace(shape=(m // tp, n), padded_shape=(m_pad // tp, n_pad))
+    assert w.shards == tp, (
+        f"row-parallel weight must be packed with shards={tp}, got {w.shards} "
+        "(set LlamaConfig.tp_shards before quantizing)"
+    )
+    return w.replace(
+        shape=(m, n // tp), padded_shape=(m_pad, n_pad // tp), shards=1
+    )
+
+
+def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
+    """Params with static metadata describing per-device local shapes.
+
+    Leaves stay global; only the aux data changes.  The result is what gets
+    passed through shard_map (which slices leaves but keeps aux data).
+    """
+    lp = params.layers
+    new_layers = lp.replace(
+        **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},
+        **{k: _localize_weight(getattr(lp, k), tp, "row") for k in _ROW_PARALLEL},
+    )
+    return params.replace(layers=new_layers)
+
+
+def _weight_spec(w, kind: str, axis: str):
+    """PartitionSpec pytree matching one (stacked) weight."""
+    if isinstance(w, PackedNF4):
+        if kind == "col":  # lane dim (last) holds out_features
+            spec = P(None, None, axis)
+        else:  # sublane dim (middle) holds K-chunks
+            spec = P(None, axis, None)
+        return w.replace(packed=spec, scales=spec)
+    # Dense [L, m, n]: col-parallel shards m (axis 1), row-parallel n (axis 2).
+    return P(None, axis, None) if kind == "col" else P(None, None, axis)
+
+
+def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
+    """A params-structured pytree of PartitionSpecs (for shard_map/device_put)."""
+    lp = params.layers
+    fields = {}
+    for k in _COL_PARALLEL:
+        fields[k] = _weight_spec(getattr(lp, k), "col", axis)
+    for k in _ROW_PARALLEL:
+        fields[k] = _weight_spec(getattr(lp, k), "row", axis)
+    for k in _REPLICATED:
+        fields[k] = P(None, None)
+    return LlamaParams(
+        embed=P(None, None),
+        layers=lp.replace(**fields),
+        final_norm=P(None),
+        lm_head=P(axis, None),  # vocab-sharded
+    )
+
+
+def cache_spec(axis: str = "tp", data_axis=None) -> KVCache:
+    spec = P(None, data_axis, axis, None, None)
+    return KVCache(k=spec, v=spec)
+
+
+def shard_params(
+    params: LlamaParams, mesh: Mesh, axis: str = "tp"
+) -> Tuple[LlamaParams, LlamaParams]:
+    """device_put params onto the mesh; returns (sharded_params, specs)."""
+    specs = param_specs(params, axis)
+    sharded = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        specs,
+    )
+    return sharded, specs
+
+
+def init_sharded_kv_cache(
+    cfg: LlamaConfig, batch_size: int, mesh: Mesh, axis: str = "tp", data_axis=None
+) -> KVCache:
+    cache = init_kv_cache(cfg, batch_size)
+    spec = P(None, data_axis, axis, None, None)
+    sharding = NamedSharding(mesh, spec)
+    return KVCache(
+        k=jax.device_put(cache.k, sharding), v=jax.device_put(cache.v, sharding)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded entry points
+
+
+def tp_forward(
+    params_local: LlamaParams,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    tokens: jax.Array,
+    cache: KVCache,
+    positions: jax.Array,
+    seq_lens: jax.Array,
+    axis: str = "tp",
+    data_axis=None,
+):
+    """shard_map-wrapped forward.  ``params_local`` must come from
+    :func:`localize_params`; arrays must be sharded per :func:`param_specs`.
+
+    ``data_axis`` optionally shards the batch dim over a second mesh axis
+    (data parallelism): tokens/cache/logits are split on batch, weights are
+    replicated across it.
+
+    Returns (logits [B,S,V] vocab-sharded over ``axis``, new cache).
+    """
+    tp = mesh.shape[axis]
+    cfg_local = tp_local_config(cfg, tp)
+    specs = param_specs(params_local, axis)
+    da = data_axis
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            specs,
+            cache_spec(axis, da),
+            P(da, None),
+            P(da, None),
+            P(da),
+        ),
+        out_specs=(P(da, None, axis), cache_spec(axis, da)),
+        check_vma=False,
+    )
+    def fn(params, kv, tokens, positions, seq_lens):
+        reduce_fn = lambda t: jax.lax.psum(t, axis)  # noqa: E731
+        logits, new_cache = forward(
+            params, cfg_local, tokens, kv, positions, seq_lens, reduce_fn
+        )
+        return logits, new_cache
+
+    return fn(params_local, cache, tokens, positions, seq_lens)
+
+
+def tp_prefill(params_local, cfg, mesh, tokens, cache=None, axis="tp", data_axis=None):
+    b, s = tokens.shape
+    if cache is None:
+        cache = init_sharded_kv_cache(cfg, b, mesh, axis, data_axis)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+    return tp_forward(
+        params_local, cfg, mesh, tokens, cache, positions, seq_lens, axis, data_axis
+    )
+
+
+def tp_decode_step(
+    params_local, cfg, mesh, token, cache, positions, axis="tp", data_axis=None
+):
+    logits, cache = tp_forward(
+        params_local,
+        cfg,
+        mesh,
+        token[:, None],
+        cache,
+        positions[:, None],
+        positions + 1,
+        axis,
+        data_axis,
+    )
+    return logits[:, 0, :], cache

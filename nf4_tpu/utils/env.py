@@ -27,9 +27,11 @@ __all__ = [
     "use_interpret",
     "on_tpu",
     "matmul_tile_override",
+    "lut_mode",
 ]
 
 _VALID_BACKENDS = ("auto", "pallas", "jnp")
+_VALID_LUT_MODES = ("gather", "tree")
 
 
 def on_tpu() -> bool:
@@ -57,6 +59,18 @@ def use_interpret() -> bool:
     if os.environ.get("NF4TPU_INTERPRET", "0") == "1":
         return True
     return not on_tpu()
+
+
+def lut_mode() -> str:
+    """How Pallas kernels evaluate the 16-entry NF4 codebook.
+
+    ``gather``: the TPU per-vreg dynamic-gather unit (default).
+    ``tree``: a 15-select binary tree on the VPU (portable reference).
+    """
+    mode = os.environ.get("NF4TPU_LUT", "gather").lower()
+    if mode not in _VALID_LUT_MODES:
+        raise ValueError(f"NF4TPU_LUT={mode!r}; expected one of {_VALID_LUT_MODES}")
+    return mode
 
 
 def matmul_tile_override() -> Optional[tuple]:
