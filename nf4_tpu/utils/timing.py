@@ -9,7 +9,7 @@ from typing import Callable
 
 import jax
 
-__all__ = ["measure_s", "Stats"]
+__all__ = ["measure_s", "measure_chained_s", "Stats"]
 
 
 class Stats:
@@ -50,3 +50,31 @@ def measure_s(fn: Callable, iters: int = 50, warmup: int = 5, repeats: int = 5) 
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / iters)
     return Stats(times)
+
+
+def measure_chained_s(step: Callable, x0, n1: int = 10, n2: int = 50, repeats: int = 5) -> Stats:
+    """Marginal per-call seconds of ``x = step(x)`` chains (robust timing).
+
+    Chains calls through a data dependency and reads back ONE element to
+    force completion, then takes the marginal time between chains of ``n1``
+    and ``n2`` calls.  This measures true device time even on runtimes where
+    ``block_until_ready`` returns early (e.g. proxied/tunneled devices) and
+    subtracts fixed dispatch+readback overhead — the TPU analog of CUDA-event
+    deltas (reference ``benchmark.py:117-126``).
+
+    ``step`` must map an array to a same-shaped array that *depends on* the
+    computation under test (fold a scaled output element into the carry; use
+    a tiny nonzero factor, never ``* 0`` — XLA dead-code-eliminates that).
+    """
+    import numpy as np
+
+    def run(n):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = step(x)
+        np.asarray(jax.device_get(x[(0,) * x.ndim]))  # force completion
+        return time.perf_counter() - t0
+
+    run(3)  # warmup / compile
+    return Stats([(run(n2) - run(n1)) / (n2 - n1) for _ in range(repeats)])

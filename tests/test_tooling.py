@@ -1,0 +1,80 @@
+"""Smoke tests for the tooling layer (benchmarks, diagnostics, installer).
+
+The reference's tooling *is* its test suite (SURVEY.md §4); here the tooling
+itself is under test.  Everything runs in-process on the CPU platform set up
+by conftest.py, with tiny shapes/iteration counts.
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+
+
+@pytest.fixture(autouse=True)
+def _restore_backend_env():
+    prev = os.environ.get("NF4TPU_BACKEND")
+    yield
+    if prev is None:
+        os.environ.pop("NF4TPU_BACKEND", None)
+    else:
+        os.environ["NF4TPU_BACKEND"] = prev
+
+
+def test_benchmark_mlp_small(monkeypatch, capsys):
+    import benchmark_mlp
+
+    monkeypatch.setattr(
+        sys, "argv", ["benchmark_mlp.py", "--small", "--no-plot", "--iterations", "6"]
+    )
+    rc = benchmark_mlp.main()
+    out = capsys.readouterr().out
+    assert "BIT-EXACT ok" in out
+    assert "total speedup" in out
+    assert rc in (0, 1)  # the 1.15x gate is hardware-dependent; CPU may fail it
+
+
+def test_benchmark_layers_small(monkeypatch, capsys):
+    import benchmark_layers
+
+    monkeypatch.setattr(
+        sys, "argv", ["benchmark_layers.py", "--sizes", "256", "--iterations", "6"]
+    )
+    rc = benchmark_layers.main()
+    out = capsys.readouterr().out
+    assert "correctness vs oracle: exact=True" in out
+    assert "Summary" in out
+    assert rc in (0, 1)
+
+
+def test_diagnostics_checks(capsys):
+    import run_diagnostics
+
+    # Reset module-level failure accumulator for in-process reuse.
+    run_diagnostics.failures.clear()
+    run_diagnostics.env_report()
+    run_diagnostics.pallas_smoke()
+    run_diagnostics.fallback_check()
+    out = capsys.readouterr().out
+    assert "[FAIL]" not in out
+    assert run_diagnostics.failures == []
+
+
+def test_installer_smoke():
+    import install
+
+    assert install.detect_platform() in ("pallas", "jnp")
+    assert install.smoke_test()
+
+
+def test_measure_chained_s():
+    import jax.numpy as jnp
+
+    from nf4_tpu.utils.timing import measure_chained_s
+
+    stats = measure_chained_s(lambda x: x + 1.0, jnp.zeros((4,)), n1=2, n2=6, repeats=2)
+    assert stats.median < 1.0  # sanity: adds are not seconds-slow
