@@ -8,8 +8,8 @@ of a row holds output columns ``2j`` (high nibble) and ``2j+1`` (low nibble)
 *interleaving* adjacent elements, which is free on GPUs (per-thread scatter)
 but a cross-lane shuffle on a TPU's (sublane × lane) vector registers.
 
-We instead define a **split-half, K-major** layout so that unpacking is pure
-nibble arithmetic with no data movement:
+We instead define an **adjacent-pair, K-major** layout so that unpacking is
+pure integer arithmetic whose natural output order matches the hardware:
 
 * The semantic weight is ``W[m, n]`` (``m`` = out_features, ``n`` =
   in_features; NF4 blocks of 64 run along ``n``, exactly as in bitsandbytes).
@@ -17,10 +17,14 @@ nibble arithmetic with no data movement:
   (reference ``benchmark.py:62-65`` transposes immediately after dequant),
   and K-major puts the contraction dim on sublanes where the MXU wants it.
 * ``packed[j, r]`` (uint8, shape ``[n_pad//2, m_pad]``) holds
-  ``W^T[j, r]`` in its HIGH nibble and ``W^T[j + n_pad//2, r]`` in its LOW
-  nibble.  Extracting ``packed >> 4`` therefore yields the *contiguous* top
-  half of ``W^T`` and ``packed & 0xF`` the contiguous bottom half — no
-  interleave, ever.
+  ``W^T[2j, r]`` in its LOW nibble and ``W^T[2j+1, r]`` in its HIGH nibble.
+  This pairing is chosen for the TPU's 32-bit register lanes: the fused
+  kernel gathers a 32-bit word per byte from a 256-entry table holding both
+  dequantized bf16 bit patterns, and ``pltpu.bitcast(word, bfloat16)``
+  expands word row ``j`` into value rows ``2j`` (low half) and ``2j+1``
+  (high half) — exactly this layout's K order, so decode needs **no**
+  interleave, shuffle, or activation permutation.  Both K rows of a byte
+  fall in the same 64-value scale block, so scales stay block-aligned too.
 * ``scales[g, r]`` (fp32, shape ``[n_pad//64, m_pad]``) is the fully
   dequantized per-block scale ``code2[absmax_u8]*absmax32 + offset`` for rows
   ``[64g, 64g+64)`` of ``W^T``.  Precomputing the double dequantization once
@@ -74,7 +78,7 @@ class PackedNF4:
     """A single NF4-quantized weight in TPU-native layout (a JAX pytree).
 
     ``shards > 1`` means the K dimension is packed in ``shards`` independent
-    chunks (the split-half structure repeats per chunk): row ranges
+    chunks (the pair structure repeats per chunk): row ranges
     ``[s * n_pad/(2*shards), ...)`` of ``packed`` hold chunk ``s`` of the
     in-features dim.  Sharding such a weight over the first axis with
     ``PartitionSpec('tp', None)`` hands each of ``shards`` devices a fully
@@ -116,7 +120,7 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
     """Convert a flat (bitsandbytes-layout) QuantState to the TPU layout.
 
     ``shards``: pack the in-features dim as this many independent chunks
-    (each padded and split-half packed on its own) so the result can be
+    (each padded and pair-packed on its own) so the result can be
     contraction-sharded over ``shards`` devices.  Exact: chunk boundaries
     fall on 64-value block boundaries, so per-block scales are unchanged.
     """
@@ -145,8 +149,9 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
             :, s * (n_chunk // NF4_BLOCK) : (s + 1) * (n_chunk // NF4_BLOCK)
         ]
         idx_t = idx_c.T  # [n_chunk_pad, m_pad]
-        half = n_chunk_pad // 2
-        packed_chunks.append(((idx_t[:half] << 4) | (idx_t[half:] & 0xF)).astype(np.uint8))
+        lo = idx_t[0::2]  # K rows 2j
+        hi = idx_t[1::2]  # K rows 2j+1
+        packed_chunks.append(((hi << 4) | (lo & 0xF)).astype(np.uint8))
         scale_chunks.append(sc_c.T.copy())
 
     return PackedNF4(
@@ -209,7 +214,10 @@ def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:
     idx_parts, scale_parts = [], []
     for view in chunk_views(pw):
         packed = np.asarray(view.packed)
-        idx_t = np.concatenate([(packed >> 4) & 0xF, packed & 0xF], axis=0)
+        nrows, ncols = packed.shape
+        idx_t = np.empty((2 * nrows, ncols), dtype=np.uint8)
+        idx_t[0::2] = packed & 0xF
+        idx_t[1::2] = (packed >> 4) & 0xF
         idx_parts.append(idx_t.T[:m, :n_chunk])
         scale_parts.append(np.asarray(view.scales).T[:m, : n_chunk // NF4_BLOCK])
     idx = np.concatenate(idx_parts, axis=1)

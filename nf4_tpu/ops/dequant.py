@@ -5,11 +5,15 @@ reference ``kernel_optimized.py:11-110``) redesigned for TPU:
 
 * grid over (K-tile, M-tile, nibble-plane) instead of one program per
   64-element block;
-* the split-half K-major layout (see ``nf4.format``) makes nibble extraction
-  shuffle-free: plane 0 is ``packed >> 4``, plane 1 is ``packed & 0xF``, and
-  each plane writes a *contiguous* output tile;
-* scales arrive fully double-dequantized (fp32) and are broadcast across
-  each 64-row block on the sublane dimension;
+* the adjacent-pair K-major layout (see ``nf4.format``) stores ``W^T[2j]``
+  in the low nibble and ``W^T[2j+1]`` in the high nibble of byte row ``j``;
+  plane 0 decodes the low nibbles (even K rows), plane 1 the high nibbles
+  (odd K rows), and XLA interleaves the two contiguous plane outputs with a
+  single reshape outside the kernel;
+* both K rows of a byte share the same 64-value scale block, so scales are
+  broadcast per 32 byte rows on the sublane dimension;
+* scales arrive fully double-dequantized (fp32): all value math is fp32 and
+  casts once at the end — bit-exact against the NumPy oracle;
 * native output is ``W^T`` — every consumer of the reference dequantizes and
   immediately transposes (reference ``benchmark.py:62-65``), so the TPU
   build makes the transposed form the fast path.
@@ -35,6 +39,10 @@ from .lut_eval import nf4_lookup, nf4_lookup_gather, nf4_table_row
 
 __all__ = ["dequantize", "dequantize_t"]
 
+# Each byte row covers two K rows, so a 64-value scale block spans 32 byte
+# rows of either nibble plane.
+PAIR_BLOCK = NF4_BLOCK // 2
+
 
 def _pick_tile(size: int, candidates) -> int:
     for c in candidates:
@@ -58,13 +66,13 @@ def _make_dequant_kernel(lut_mode: str):
     def kernel(p_ref, s_ref, lut_ref, o_ref):
         h = pl.program_id(2)
         b = p_ref[:].astype(jnp.int32)
-        nib = jnp.where(h == 0, (b >> 4) & 0xF, b & 0xF)
+        nib = jnp.where(h == 0, b & 0xF, (b >> 4) & 0xF)
         if lut_mode == "gather":
             vals = nf4_lookup_gather(nib, lut_ref[:])
         else:
             vals = nf4_lookup(nib)
-        sexp = _expand_scales_sublane(s_ref[:], NF4_BLOCK, vals.shape[0])
-        o_ref[:] = (vals * sexp).astype(o_ref.dtype)
+        sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, vals.shape[0])
+        o_ref[0] = (vals * sexp).astype(o_ref.dtype)
 
     return kernel
 
@@ -90,25 +98,28 @@ def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
         in_specs=[
             pl.BlockSpec((bks, bo), lambda j, o, h: (j, o), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (bks // NF4_BLOCK, bo),
-                lambda j, o, h, _nj=nj: (j + h * _nj, o),
+                (bks // PAIR_BLOCK, bo),
+                lambda j, o, h: (j, o),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 128), lambda j, o, h: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bks, bo), lambda j, o, h, _nj=nj: (j + h * _nj, o), memory_space=pltpu.VMEM
+            (1, bks, bo), lambda j, o, h: (h, j, o), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), kernel_dtype),
+        out_shape=jax.ShapeDtypeStruct((2, khalf, m_pad), kernel_dtype),
         interpret=interpret,
     )(packed, scales, jnp.asarray(nf4_table_row()))
+    # Interleave planes: K row 2j = plane 0 row j, K row 2j+1 = plane 1 row j.
+    out = jnp.moveaxis(out, 0, 1).reshape(2 * khalf, m_pad)
     return out.astype(dtype) if kernel_dtype != dtype else out
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def _dequant_t_jnp(packed, scales, dtype):
     b = packed.astype(jnp.int32)
-    idx_t = jnp.concatenate([(b >> 4) & 0xF, b & 0xF], axis=0)  # [n_pad, m_pad]
+    khalf, m_pad = b.shape
+    idx_t = jnp.stack([b & 0xF, (b >> 4) & 0xF], axis=1).reshape(2 * khalf, m_pad)
     vals = nf4_lookup(idx_t)
     sexp = _expand_scales_sublane(scales, NF4_BLOCK, vals.shape[0])
     return (vals * sexp).astype(dtype)

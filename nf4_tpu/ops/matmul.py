@@ -3,18 +3,30 @@
 This is the north-star kernel the reference package never had (it always
 materialized the fp16 weight to global memory and then ran a separate
 matmul, reference ``benchmark.py:62-65``).  Here the packed uint8 bytes are
-DMA'd HBM->VMEM, dequantized on the VPU inside the kernel, and fed straight
-to the MXU — the dequantized weight never round-trips to HBM, so the memory
-traffic per step is the 4-bit weight stream plus scales instead of the fp16
-tensor (a 4x reduction on the dominant stream).
+DMA'd HBM->VMEM, dequantized inside the kernel, and fed straight to the MXU
+— the dequantized weight never round-trips to HBM, so the memory traffic per
+step is the 4-bit weight stream plus scales instead of the fp16 tensor (a 4x
+reduction on the dominant stream).
+
+Two kernels share the adjacent-pair K-major layout (see ``nf4.format``):
+
+* **bf16 fast path** (``_make_bytetable_kernel``): dequantizes a whole byte
+  per lane with ONE pair of 128-lane table gathers — the 256-entry table
+  holds, for every byte value, a 32-bit word packing both nibbles'
+  dequantized bf16 bit patterns; ``pltpu.bitcast`` then expands word row
+  ``j`` to value rows ``2j``/``2j+1``, which is exactly the layout's K
+  order.  No nibble shifts (Mosaic cannot shift i8/i16 vectors), no
+  interleave, one MXU contraction per tile.  Weight values round through
+  bf16 before the multiply — within the 2e-2 contract of the bf16 path and
+  ~10x smaller than NF4's own quantization cell.
+* **exact path** (fp32/fp16 activations): evaluates the codebook as an fp32
+  select tree per nibble plane and multiplies by fp32 scales, bit-matching
+  the jnp reference; activations are pre-split into even/odd K columns by
+  XLA so each plane contracts contiguously.
 
 Grid: (batch-tile, out-tile, K-tile) with K innermost; a fp32 VMEM scratch
 accumulates partial products across K-tiles (standard Pallas matmul
-pipelining).  Each K-tile of packed bytes covers two K-ranges of ``W^T``
-(high-nibble plane at rows ``[k0, k0+bks)``, low-nibble plane at
-``[n_pad/2 + k0, ...)``), so the kernel pulls the two matching activation
-tiles and performs two MXU contractions per byte tile — the byte stream is
-read exactly once.
+pipelining).
 """
 
 from __future__ import annotations
@@ -23,20 +35,76 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..nf4.format import PackedNF4, pad_to
+from ..nf4.lut import NF4_CODE
 from ..nf4.reference import NF4_BLOCK
 from ..utils import env
-from .dequant import _dequant_t_jnp, _expand_scales_sublane, _pick_tile
-from .lut_eval import nf4_lookup, nf4_lookup_gather, nf4_table_row
+from .dequant import PAIR_BLOCK, _dequant_t_jnp, _expand_scales_sublane, _pick_tile
+from .lut_eval import nf4_lookup
 
 __all__ = ["nf4_matmul"]
 
 
-def _make_matmul_kernel(lut_mode: str):
-    def kernel(xh_ref, xl_ref, p_ref, sh_ref, sl_ref, lut_ref, o_ref, acc_ref):
+@functools.lru_cache(maxsize=None)
+def _byte_word_tables():
+    """The 256-entry byte -> packed-bf16-pair word table, split into two
+    (1, 128) i32 rows for the per-vreg gather unit (indices must be < 128).
+
+    T[byte] = bits(LUT[hi_nibble]) << 16 | bits(LUT[lo_nibble]); the bitcast
+    of the gathered word yields the low half at even K rows and the high
+    half at odd K rows, matching the pair layout.
+    """
+    import ml_dtypes
+
+    bits = np.asarray(NF4_CODE, np.float32).astype(ml_dtypes.bfloat16).view(np.uint16)
+    t = np.zeros(256, np.uint32)
+    for byte in range(256):
+        t[byte] = (np.uint32(bits[byte >> 4]) << 16) | np.uint32(bits[byte & 0xF])
+    t = t.view(np.int32)
+    return t[:128].reshape(1, 128), t[128:].reshape(1, 128)
+
+
+def _make_bytetable_kernel(nchunks: int):
+    def kernel(x_ref, p_ref, s_ref, tlo_ref, thi_ref, o_ref, acc_ref):
+        ik = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(ik == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        b = p_ref[:].astype(jnp.int32)  # (bks, bo)
+        rows = b.shape[0]
+        idx = b & 127
+        sel_hi = b >= 128
+        xt = x_ref[:]  # (bm, 2*bks)
+        s_all = s_ref[:].astype(jnp.bfloat16)  # (2*bks/64, bo)
+        nb = 2 * rows // NF4_BLOCK
+        for c in range(nchunks):
+            sl = slice(c * 128, (c + 1) * 128)
+            g_lo = jnp.take_along_axis(tlo_ref[:], idx[:, sl], axis=1)
+            g_hi = jnp.take_along_axis(thi_ref[:], idx[:, sl], axis=1)
+            word = jnp.where(sel_hi[:, sl], g_hi, g_lo)
+            wv = pltpu.bitcast(word, jnp.bfloat16)  # (2*bks, 128)
+            # Per-64-row scale as a 3D broadcast (no materialized expansion).
+            wv = (
+                wv.reshape(nb, NF4_BLOCK, 128) * s_all[:, sl][:, None, :]
+            ).reshape(2 * rows, 128)
+            acc_ref[:, sl] += jnp.dot(xt, wv, preferred_element_type=jnp.float32)
+
+        @pl.when(ik == nk - 1)
+        def _store():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_exact_kernel():
+    def kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, acc_ref):
         ik = pl.program_id(2)
         nk = pl.num_programs(2)
 
@@ -46,35 +114,20 @@ def _make_matmul_kernel(lut_mode: str):
 
         b = p_ref[:].astype(jnp.int32)
         rows = b.shape[0]
-        compute_dtype = xh_ref.dtype
-        # fp32 activations get full-precision MXU passes; bf16 full rate.
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if compute_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-
-        if lut_mode == "gather":
-            lut = lut_ref[:]
-            vh = nf4_lookup_gather((b >> 4) & 0xF, lut)
-            vl = nf4_lookup_gather(b & 0xF, lut)
-        else:
-            vh = nf4_lookup((b >> 4) & 0xF)
-            vl = nf4_lookup(b & 0xF)
-        wh = vh * _expand_scales_sublane(sh_ref[:], NF4_BLOCK, rows)
-        wl = vl * _expand_scales_sublane(sl_ref[:], NF4_BLOCK, rows)
-
+        v_lo = nf4_lookup(b & 0xF)  # even K rows, fp32
+        v_hi = nf4_lookup((b >> 4) & 0xF)  # odd K rows, fp32
+        sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, rows)
         acc_ref[:] += jnp.dot(
-            xh_ref[:],
-            wh.astype(compute_dtype),
+            xe_ref[:],
+            v_lo * sexp,
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=jax.lax.Precision.HIGHEST,
         )
         acc_ref[:] += jnp.dot(
-            xl_ref[:],
-            wl.astype(compute_dtype),
+            xo_ref[:],
+            v_hi * sexp,
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         @pl.when(ik == nk - 1)
@@ -84,46 +137,72 @@ def _make_matmul_kernel(lut_mode: str):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_dtype", "tiles", "interpret", "lut_mode")
-)
-def _matmul_pallas(x_pad, packed, scales, out_dtype, tiles, interpret, lut_mode):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tiles", "interpret"))
+def _matmul_pallas_bf16(x_pad, packed, scales, out_dtype, tiles, interpret):
+    """Byte-table fast path: bf16 activations; fp32 accumulation stored as
+    bf16 or fp32 (fp16 rides fp32 — Mosaic has no f16 type)."""
+    bm, bks, bo = tiles
+    b_pad = x_pad.shape[0]
+    khalf, m_pad = packed.shape
+    nb, no, nk = b_pad // bm, m_pad // bo, khalf // bks
+    kernel_out = jnp.float32 if out_dtype == jnp.float16 else out_dtype
+
+    tlo, thi = _byte_word_tables()
+    tlo = jnp.broadcast_to(jnp.asarray(tlo), (bks, 128))
+    thi = jnp.broadcast_to(jnp.asarray(thi), (bks, 128))
+
+    out = pl.pallas_call(
+        _make_bytetable_kernel(bo // 128),
+        grid=(nb, no, nk),
+        in_specs=[
+            pl.BlockSpec((bm, 2 * bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bks, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2 * bks // NF4_BLOCK, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bks, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bks, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda b, o, k: (b, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), kernel_out),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        interpret=interpret,
+    )(x_pad, packed, scales, tlo, thi)
+    return out.astype(out_dtype) if kernel_out != out_dtype else out
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tiles", "interpret"))
+def _matmul_pallas_exact(x_pad, packed, scales, out_dtype, tiles, interpret):
+    """Exact path: fp32 dequant math, fp32 accumulation (f16 rides fp32 —
+    Mosaic has no f16 type)."""
     bm, bks, bo = tiles
     b_pad = x_pad.shape[0]
     khalf, m_pad = packed.shape
     nb, no, nk = b_pad // bm, m_pad // bo, khalf // bks
 
-    # Mosaic has no f16 type; f16 activations/outputs ride through fp32.
     kernel_out = jnp.float32 if out_dtype == jnp.float16 else out_dtype
-    if x_pad.dtype == jnp.float16:
+    if x_pad.dtype in (jnp.float16, jnp.bfloat16):
+        # Exact path always contracts in fp32 (lossless upcast).
         x_pad = x_pad.astype(jnp.float32)
+    x_even = x_pad[:, 0::2]  # XLA-side split; activations are small
+    x_odd = x_pad[:, 1::2]
 
     out = pl.pallas_call(
-        _make_matmul_kernel(lut_mode),
+        _make_exact_kernel(),
         grid=(nb, no, nk),
         in_specs=[
             pl.BlockSpec((bm, bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bm, bks), lambda b, o, k, _nk=nk: (b, k + _nk), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((bm, bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bks, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (bks // NF4_BLOCK, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM
+                (bks // PAIR_BLOCK, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (bks // NF4_BLOCK, bo),
-                lambda b, o, k, _nk=nk: (k + _nk, o),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (bm, bo), lambda b, o, k: (b, o), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((bm, bo), lambda b, o, k: (b, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), kernel_out),
         scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
         interpret=interpret,
-    )(x_pad, x_pad, packed, scales, scales, jnp.asarray(nf4_table_row()))
+    )(x_even, x_odd, packed, scales)
     return out.astype(out_dtype) if kernel_out != out_dtype else out
 
 
@@ -172,22 +251,27 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
     if b_pad != B or n_pad != n:
         x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
 
+    interpret = env.use_interpret()
+    # The byte-table kernel's bitcast row-pair expansion is a hardware
+    # (Mosaic) semantic; route interpret mode through the exact kernel.
+    use_fast = env.backend() == "pallas" and not interpret and x2.dtype == jnp.bfloat16
     if env.backend() == "pallas":
         bm = _pick_tile(b_pad, (128, 64, 32, 16, 8))
-        bks = _pick_tile(n_pad // 2, (512,))
+        bks = _pick_tile(n_pad // 2, (1024, 512)) if use_fast else _pick_tile(
+            n_pad // 2, (512,)
+        )
         bo = _pick_tile(m_pad, (256, 128))
         override = env.matmul_tile_override()
         if override:
             bm, bks, bo = override
-        y = _matmul_pallas(
-            x2,
-            pw.packed,
-            pw.scales,
-            out_dtype,
-            (bm, bks, bo),
-            env.use_interpret(),
-            env.lut_mode(),
-        )
+        if use_fast:
+            y = _matmul_pallas_bf16(
+                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
+            )
+        else:
+            y = _matmul_pallas_exact(
+                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
+            )
     else:
         y = _matmul_jnp(x2, pw.packed, pw.scales, out_dtype)
 

@@ -26,9 +26,9 @@ class TestLayout:
         pw = quantize_for_tpu(w)
         assert pw.padded_shape == (128, 1024)
 
-    def test_split_half_semantics(self, rng):
-        # packed[j, r] high nibble must be W^T[j, r]'s code and low nibble
-        # W^T[j + n_pad/2, r]'s code.
+    def test_pair_layout_semantics(self, rng):
+        # packed[j, r] low nibble must be W^T[2j, r]'s code and high nibble
+        # W^T[2j+1, r]'s code (adjacent-pair K-interleaved layout).
         w = rng.standard_normal((128, 1024)).astype(np.float32) * 0.1
         state = quantize_nf4(w, dtype=np.float16)
         pw = pack_for_tpu(state)
@@ -36,9 +36,8 @@ class TestLayout:
 
         idx = unpack_nibbles(state.packed, w.size).reshape(128, 1024)
         packed = np.asarray(pw.packed)
-        half = 512  # n_pad/2
-        np.testing.assert_array_equal((packed >> 4) & 0xF, idx.T[:half])
-        np.testing.assert_array_equal(packed & 0xF, idx.T[half:])
+        np.testing.assert_array_equal(packed & 0xF, idx.T[0::2])
+        np.testing.assert_array_equal((packed >> 4) & 0xF, idx.T[1::2])
 
     def test_padding_scales_are_zero(self, rng):
         w = rng.standard_normal((100, 320)).astype(np.float32)
