@@ -1,0 +1,157 @@
+"""Serving benchmark: decode tokens/s/chip for an NF4-quantized Llama.
+
+The BASELINE.md serving target is tokens/s/chip for NF4 Llama models; the
+reference package has no model or serving layer at all (SURVEY.md §2.2).
+This harness builds a randomly initialized (but correctly shaped) quantized
+model, measures the jitted decode step via chained-marginal timing (robust
+on runtimes where ``block_until_ready`` lies), and reports decode tokens/s
+per chip at several batch sizes plus prefill throughput.
+
+Random weights give identical compute/memory behavior to trained ones, so
+the throughput numbers are representative; quality metrics come from
+``nf4_tpu.eval.ppl`` with real checkpoints instead.
+
+Usage: python benchmarks/benchmark_serving.py [--model tinyllama-1.1b]
+         [--batch-sizes 1,8,16] [--prefill-len 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nf4_tpu.models import configs
+from nf4_tpu.models.llama import (
+    KVCache,
+    decode_step,
+    forward,
+    init_kv_cache,
+    init_params,
+)
+from nf4_tpu.utils.timing import Stats
+
+
+def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3):
+    """Chained decode: token_{t+1} = argmax(logits_t); the real autoregressive
+    dependency structure, so no artificial chaining is needed."""
+    import functools
+
+    cache = init_kv_cache(cfg, batch)
+
+    @jax.jit
+    def step(p, token, pos, cache_k, cache_v):
+        # params must be an ARGUMENT: closing over them bakes ~1GB of
+        # weights into the HLO as constants (and breaks remote compile).
+        logits, new_cache = decode_step(
+            p, cfg, token=token, cache=KVCache(k=cache_k, v=cache_v), positions=pos
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return nxt, pos + 1, new_cache.k, new_cache.v
+
+    tok0 = jnp.zeros((batch,), jnp.int32)
+    pos0 = jnp.zeros((batch,), jnp.int32)
+
+    def run(n):
+        tok, pos, ck, cv = tok0, pos0, cache.k, cache.v
+        t0 = time.perf_counter()
+        for _ in range(n):
+            tok, pos, ck, cv = step(params, tok, pos, ck, cv)
+        np.asarray(jax.device_get(tok[0]))
+        return time.perf_counter() - t0
+
+    run(3)
+    vals = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(repeats)]
+    return Stats(vals)
+
+
+def measure_prefill(params, cfg, batch: int, seqlen: int, repeats=3):
+    cache = init_kv_cache(cfg, batch)
+    toks = jnp.zeros((batch, seqlen), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(seqlen, dtype=jnp.int32), (batch, seqlen))
+    seq_lens = jnp.full((batch,), seqlen, jnp.int32)
+
+    @jax.jit
+    def pf(p, t, ck, cv):
+        logits, _ = forward(p, cfg, t, KVCache(k=ck, v=cv), positions, seq_lens)
+        return logits[:, -1, :]
+
+    def run(n):
+        t = toks
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = pf(params, t, cache.k, cache.v)
+            t = t.at[:, 0:1].set(jnp.argmax(out[:, :1], axis=-1, keepdims=True).astype(jnp.int32))
+        np.asarray(jax.device_get(t[0, 0]))
+        return time.perf_counter() - t0
+
+    run(2)
+    vals = [(run(8) - run(3)) / 5 for _ in range(repeats)]
+    return Stats(vals)
+
+
+def model_weight_bytes(cfg) -> int:
+    """Packed NF4 weight-stream bytes touched per decode token."""
+    per_layer = (
+        cfg.hidden_size * cfg.num_heads * cfg.head_dim  # wq
+        + 2 * cfg.hidden_size * cfg.num_kv_heads * cfg.head_dim  # wk, wv
+        + cfg.num_heads * cfg.head_dim * cfg.hidden_size  # wo
+        + 3 * cfg.hidden_size * cfg.intermediate_size  # gate, up, down
+    )
+    quant = cfg.num_layers * per_layer
+    dense = cfg.vocab_size * cfg.hidden_size * 2  # embed + lm_head (bf16)
+    return quant // 2 + quant // 16 * 4 // 4 + dense * 2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tinyllama-1.1b")
+    ap.add_argument("--batch-sizes", default="1,8,16")
+    ap.add_argument("--prefill-len", type=int, default=512)
+    ap.add_argument("--max-seq-len", type=int, default=1024,
+                    help="cap context to bound KV memory in the benchmark")
+    args = ap.parse_args()
+
+    cfg = configs.get_config(args.model)
+    if args.max_seq_len:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq_len)
+    print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
+    print(f"model: {args.model} ({cfg.num_layers} layers, hidden {cfg.hidden_size})")
+
+    t0 = time.perf_counter()
+    params = init_params(cfg, seed=0)
+    print(f"init+quantize: {time.perf_counter() - t0:.1f}s")
+    wbytes = model_weight_bytes(cfg)
+
+    print(f"\n--- decode (weight stream ~{wbytes / 2**20:.0f} MiB/token-step) ---")
+    for b in (int(s) for s in args.batch_sizes.split(",")):
+        st = measure_decode_chain(params, cfg, b)
+        tps = b / st.median
+        eff = wbytes / st.median / 1e9
+        print(
+            f"  batch {b:3d}: {st.median * 1e3:7.3f} ms/step -> "
+            f"{tps:8.1f} tok/s/chip ({eff:.0f} GB/s weight stream)"
+        )
+
+    print("\n--- prefill ---")
+    b = 1
+    st = measure_prefill(params, cfg, b, args.prefill_len)
+    tps = b * args.prefill_len / st.median
+    print(
+        f"  batch {b}, len {args.prefill_len}: {st.median * 1e3:.1f} ms -> "
+        f"{tps:,.0f} tok/s/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()

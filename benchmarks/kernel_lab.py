@@ -420,6 +420,143 @@ def build_micro(packed, scales, level, bks=512, bo=512, bm=16, dimsem=False):
     return run
 
 
+# --------------------------------------------------------------------------
+# v8: manual software pipeline.  Grid is (batch-tile, out-tile) only; the K
+# loop runs inside the body with explicit double-buffered DMA of packed
+# bytes + scales, and decode of tile k+1 is issued in the same straight-line
+# block as the MXU dot of tile k so the VLIW scheduler can overlap them.
+
+
+def make_v8_kernel(nk: int, bks: int, bo: int):
+    nsc = 2 * bks // NF4_BLOCK  # scale rows per tile
+
+    def decode(pb, sb, tlo_ref, thi_ref):
+        b = pb[:].astype(jnp.int32)
+        idx = b & 127
+        sel = b >= 128
+        s_all = sb[:].astype(jnp.bfloat16)
+        parts = []
+        for c in range(bo // 128):
+            sl = slice(c * 128, (c + 1) * 128)
+            g1 = jnp.take_along_axis(tlo_ref[:], idx[:, sl], axis=1)
+            g2 = jnp.take_along_axis(thi_ref[:], idx[:, sl], axis=1)
+            word = jnp.where(sel[:, sl], g2, g1)
+            wv = pltpu.bitcast(word, jnp.bfloat16)
+            nb = 2 * bks // NF4_BLOCK
+            wv = (
+                wv.reshape(nb, NF4_BLOCK, 128) * s_all[:, sl][:, None, :]
+            ).reshape(2 * bks, 128)
+            parts.append(wv)
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def kernel(
+        xt_ref, p_hbm, s_hbm, tlo_ref, thi_ref, o_ref,
+        pbuf, sbuf, wbuf, acc_ref, sem_p, sem_s,
+    ):
+        o = pl.program_id(1)
+
+        def dma_p(slot, k):
+            return pltpu.make_async_copy(
+                p_hbm.at[pl.ds(k * bks, bks), pl.ds(o * bo, bo)],
+                pbuf.at[slot],
+                sem_p.at[slot],
+            )
+
+        def dma_s(slot, k):
+            return pltpu.make_async_copy(
+                s_hbm.at[pl.ds(k * nsc, nsc), pl.ds(o * bo, bo)],
+                sbuf.at[slot],
+                sem_s.at[slot],
+            )
+
+        # Prologue: fetch + decode tile 0, start fetch of tile 1.
+        dma_p(0, 0).start()
+        dma_s(0, 0).start()
+        dma_p(0, 0).wait()
+        dma_s(0, 0).wait()
+        dma_p(1, 1).start()
+        dma_s(1, 1).start()
+        wbuf[0] = decode(pbuf.at[0], sbuf.at[0], tlo_ref, thi_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(k, _):
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 2 < nk)
+            def _():
+                dma_p(k % 2, k + 2).start()
+                dma_s(k % 2, k + 2).start()
+
+            dma_p(nxt, k + 1).wait()
+            dma_s(nxt, k + 1).wait()
+            # Issue the MXU dot of tile k FIRST, then decode tile k+1 on the
+            # VPU in its shadow; the accumulate (VPU, depends on the dot)
+            # comes after the decode so the scheduler is free to overlap.
+            xk = xt_ref[pl.ds(k * 2 * bks, 2 * bks), :]
+            dotres = jax.lax.dot_general(
+                xk,
+                wbuf[k % 2],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wv_next = decode(pbuf.at[nxt], sbuf.at[nxt], tlo_ref, thi_ref)
+            acc_ref[:] += dotres
+            wbuf[nxt] = wv_next
+            return 0
+
+        jax.lax.fori_loop(0, nk - 1, body, 0)
+
+        # Epilogue: last dot.
+        xk = xt_ref[pl.ds((nk - 1) * 2 * bks, 2 * bks), :]
+        acc_ref[:] += jax.lax.dot_general(
+            xk,
+            wbuf[(nk - 1) % 2],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def build_v8(packed, scales, bks=1024, bo=256, bm=16):
+    khalf, m_pad = packed.shape
+    nk = khalf // bks
+    no = m_pad // bo
+    nsc = 2 * bks // NF4_BLOCK
+    tlo, thi = word_tables()
+    tlo = jnp.broadcast_to(tlo, (bks, 128))
+    thi = jnp.broadcast_to(thi, (bks, 128))
+
+    @jax.jit
+    def run(x):
+        xt = x.T  # (n_pad, bm)
+        n_pad = xt.shape[0]
+        return pl.pallas_call(
+            make_v8_kernel(nk, bks, bo),
+            grid=(1, no),
+            in_specs=[
+                pl.BlockSpec((n_pad, bm), lambda b, o: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((bks, 128), lambda b, o: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bks, 128), lambda b, o: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda b, o: (b, o), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bm, m_pad), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((2, bks, bo), jnp.uint8),
+                pltpu.VMEM((2, nsc, bo), jnp.float32),
+                pltpu.VMEM((2, 2 * bks, bo), jnp.bfloat16),
+                pltpu.VMEM((bm, bo), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )(xt, packed, scales, tlo, thi)
+
+    return run
+
+
 def check(run, x, yref, name, tol=2e-2):
     y = np.asarray(run(x)[:, :M], dtype=np.float32)
     rel = np.abs(y - yref).max() / max(1e-6, np.abs(yref).max())
@@ -528,22 +665,31 @@ def main():
     if "h2h" in want:
         # Head-to-head in one process, two rounds, to control for the
         # shared chip's throughput drift between processes.
-        packed2, scales2 = pack_pairs(w)
+        # NOTE: pw is now pair-layout, so nf4_matmul IS the byte-table
+        # kernel (shipped); v8 is the manual-pipeline candidate.
         from nf4_tpu.ops.matmul import nf4_matmul
 
-        os.environ["NF4TPU_LUT"] = "tree"
         contenders = [
-            ("v0-tree", jax.jit(lambda xc: nf4_matmul(xc, pw))),
-            ("v5 1024x256", build_v5(packed2, scales2, bks=1024, bo=256)),
-            ("fulls 1024x256", build_micro(packed2, scales2, "fulls", bks=1024, bo=256)),
-            ("fulls 512x256", build_micro(packed2, scales2, "fulls", bks=512, bo=256)),
-            ("conv 1024x256", build_micro(packed2, scales2, "conv", bks=1024, bo=256)),
+            ("shipped bytetable", jax.jit(lambda xc: nf4_matmul(xc, pw)), True),
+            ("v8 dot-first 1024x256", build_v8(pw.packed, pw.scales, bks=1024, bo=256), True),
+            ("v8 dot-first 512x256", build_v8(pw.packed, pw.scales, bks=512, bo=256), True),
+            ("conv floor 1024x256", build_micro(pw.packed, pw.scales, "conv", bks=1024, bo=256), False),
         ]
-        for name, run in contenders:  # compile pass
-            run(x)[0].block_until_ready()
-        for rnd in range(2):
-            for name, run in contenders:
-                bench(run, x, wbytes, f"[r{rnd}] {name}")
+        ok = {}
+        for name, run, do_check in contenders:  # compile + correctness pass
+            try:
+                if do_check:
+                    ok[name] = check(run, x, yref, name)
+                else:
+                    run(x)[0].block_until_ready()
+                    ok[name] = True
+            except Exception as e:
+                print(f"  {name}: failed ({str(e)[:140]})")
+                ok[name] = False
+        for rnd in range(3):
+            for name, run, _ in contenders:
+                if ok.get(name):
+                    bench(run, x, wbytes, f"[r{rnd}] {name}")
 
     if "tiles" in want:
         for bks, bo in ((512, 512), (1024, 256), (1024, 512), (2048, 256)):

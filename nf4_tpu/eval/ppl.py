@@ -1,0 +1,106 @@
+"""Perplexity evaluation for quantized Llama models.
+
+End-to-end quality is a first-class target (BASELINE.md: <= 0.1 perplexity
+delta vs bitsandbytes NF4); the reference package never measures model-level
+quality — its strongest check is a dequant-tensor comparison at rtol=0.1
+(reference ``benchmark.py:13-16,110-113``).  This module supplies the
+teacher-forced cross-entropy / perplexity harness used to validate that the
+quantized serving stack preserves model quality.
+
+All log-probabilities are computed in fp32 regardless of the model compute
+dtype (the logits head already runs in fp32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import LlamaConfig, LlamaParams, forward, init_kv_cache
+
+__all__ = ["sequence_nll", "perplexity", "perplexity_report"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_nll(params, tokens, seq_lens, cache_k, cache_v, cfg: LlamaConfig):
+    """Summed next-token NLL and token count for a padded batch.
+
+    tokens: [B, T] int32; positions t predicts t+1; positions >= seq_len-1
+    are masked out.  Returns (sum_nll fp32, n_tokens int32).
+    """
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    from ..models.llama import KVCache
+
+    logits, _ = forward(
+        params, cfg, tokens, KVCache(k=cache_k, v=cache_v), positions, seq_lens
+    )
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits[:, :-1, :], axis=-1)  # predicts t+1
+    targets = tokens[:, 1:]
+    tok_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = (
+        jnp.arange(T - 1, dtype=jnp.int32)[None, :] < (seq_lens[:, None] - 1)
+    ).astype(jnp.float32)
+    return -(tok_logp * mask).sum(), mask.sum().astype(jnp.int32)
+
+
+def sequence_nll(
+    params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
+    batch_size: int = 8,
+) -> tuple:
+    """Total next-token negative log likelihood over token sequences.
+
+    Sequences longer than ``cfg.max_seq_len`` are truncated; returns
+    (total_nll, total_predicted_tokens).
+    """
+    seqs = [list(s)[: cfg.max_seq_len] for s in sequences if len(s) >= 2]
+    if not seqs:
+        return 0.0, 0
+    total_nll, total_tok = 0.0, 0
+    for i in range(0, len(seqs), batch_size):
+        chunk = seqs[i : i + batch_size]
+        B = len(chunk)
+        T = max(len(s) for s in chunk)
+        toks = np.zeros((B, T), dtype=np.int32)
+        lens = np.zeros((B,), dtype=np.int32)
+        for j, s in enumerate(chunk):
+            toks[j, : len(s)] = s
+            lens[j] = len(s)
+        cache = init_kv_cache(cfg, B)
+        nll, ntok = _batch_nll(
+            params, jnp.asarray(toks), jnp.asarray(lens), cache.k, cache.v, cfg
+        )
+        total_nll += float(nll)
+        total_tok += int(ntok)
+    return total_nll, total_tok
+
+
+def perplexity(
+    params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
+    batch_size: int = 8,
+) -> float:
+    """exp(mean next-token NLL) over all predicted tokens."""
+    nll, ntok = sequence_nll(params, cfg, sequences, batch_size=batch_size)
+    if ntok == 0:
+        return float("nan")
+    return float(np.exp(nll / ntok))
+
+
+def perplexity_report(
+    params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
+    baseline_ppl: float | None = None, gate: float = 0.1,
+) -> dict:
+    """Perplexity plus the BASELINE.md <= 0.1-delta gate when a baseline
+    (e.g. bitsandbytes NF4 on GPU, or the fp16 model) is supplied."""
+    ppl = perplexity(params, cfg, sequences)
+    report = {"perplexity": ppl}
+    if baseline_ppl is not None:
+        report["baseline_perplexity"] = baseline_ppl
+        report["delta"] = ppl - baseline_ppl
+        report["within_gate"] = bool(abs(ppl - baseline_ppl) <= gate)
+    return report

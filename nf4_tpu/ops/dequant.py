@@ -125,6 +125,13 @@ def _dequant_t_jnp(packed, scales, dtype):
     return (vals * sexp).astype(dtype)
 
 
+# Below this many packed elements the XLA-fused path wins (kernel launch +
+# grid overhead dominate); measured crossover ~2048^2 on v5e.  The size
+# dispatch is the TPU analog of the reference's hardware dispatch
+# (reference kernel_optimized.py:130-136 routes T4 to a different backend).
+_PALLAS_MIN_ELEMS = 4 * 1024 * 1024
+
+
 def dequantize_t(pw: PackedNF4, dtype=None) -> jax.Array:
     """Dequantize to ``W^T`` of logical shape [n, m] (the native fast path)."""
     if pw.shards > 1:
@@ -134,7 +141,10 @@ def dequantize_t(pw: PackedNF4, dtype=None) -> jax.Array:
             [dequantize_t(v, dtype=dtype) for v in chunk_views(pw)], axis=0
         )
     dtype = jnp.dtype(dtype) if dtype is not None else pw.dtype
-    if env.backend() == "pallas":
+    use_pallas = env.backend() == "pallas" and (
+        env.backend_choice() == "pallas" or pw.packed.size >= _PALLAS_MIN_ELEMS
+    )
+    if use_pallas:
         out = _dequant_t_pallas(
             pw.packed, pw.scales, dtype, env.use_interpret(), env.lut_mode()
         )

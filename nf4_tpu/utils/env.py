@@ -24,6 +24,7 @@ import jax
 
 __all__ = [
     "backend",
+    "backend_choice",
     "use_interpret",
     "on_tpu",
     "matmul_tile_override",
@@ -38,13 +39,23 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def backend() -> str:
-    """Resolve the active compute backend: 'pallas' or 'jnp'."""
+def backend_choice() -> str:
+    """The raw NF4TPU_BACKEND setting: 'auto', 'pallas', or 'jnp'.
+
+    'auto' lets ops apply size-based dispatch (small tensors take the
+    XLA-fused path even on TPU); an explicit 'pallas' forces the kernels.
+    """
     choice = os.environ.get("NF4TPU_BACKEND", "auto").lower()
     if choice not in _VALID_BACKENDS:
         raise ValueError(
             f"NF4TPU_BACKEND={choice!r} invalid; expected one of {_VALID_BACKENDS}"
         )
+    return choice
+
+
+def backend() -> str:
+    """Resolve the active compute backend: 'pallas' or 'jnp'."""
+    choice = backend_choice()
     if choice == "auto":
         return "pallas" if on_tpu() else "jnp"
     return choice

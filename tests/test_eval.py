@@ -1,0 +1,72 @@
+"""Tests for the perplexity evaluation harness (nf4_tpu.eval.ppl)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nf4_tpu.eval.ppl import perplexity, perplexity_report, sequence_nll
+from nf4_tpu.models import configs
+from nf4_tpu.models.llama import KVCache, forward, init_kv_cache, init_params
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = configs.TINY_TEST
+    return init_params(cfg, seed=0), cfg
+
+
+def _manual_nll(params, cfg, seq):
+    """Reference NLL via a direct forward + numpy log-softmax."""
+    T = len(seq)
+    toks = jnp.asarray(np.asarray(seq, np.int32)[None, :])
+    cache = init_kv_cache(cfg, 1)
+    positions = jnp.arange(T, dtype=jnp.int32)[None, :]
+    logits, _ = forward(
+        params, cfg, toks, cache, positions, jnp.full((1,), T, jnp.int32)
+    )
+    lg = np.asarray(logits, np.float64)[0]
+    lg = lg - lg.max(axis=-1, keepdims=True)
+    logp = lg - np.log(np.exp(lg).sum(axis=-1, keepdims=True))
+    return -sum(logp[t, seq[t + 1]] for t in range(T - 1))
+
+
+class TestPerplexity:
+    def test_matches_manual_nll(self, tiny_model):
+        params, cfg = tiny_model
+        seq = [3, 17, 92, 5, 44, 8, 101, 7]
+        nll, ntok = sequence_nll(params, cfg, [seq])
+        assert ntok == len(seq) - 1
+        manual = _manual_nll(params, cfg, seq)
+        np.testing.assert_allclose(nll, manual, rtol=2e-4)
+
+    def test_batching_invariance(self, tiny_model):
+        params, cfg = tiny_model
+        rng = np.random.default_rng(1)
+        seqs = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (5, 9, 12, 7)]
+        a = perplexity(params, cfg, seqs, batch_size=1)
+        b = perplexity(params, cfg, seqs, batch_size=4)
+        np.testing.assert_allclose(a, b, rtol=2e-4)
+
+    def test_report_gate(self, tiny_model):
+        params, cfg = tiny_model
+        seqs = [[1, 2, 3, 4, 5, 6]]
+        rep = perplexity_report(params, cfg, seqs, baseline_ppl=None)
+        assert rep["perplexity"] > 0
+        rep2 = perplexity_report(
+            params, cfg, seqs, baseline_ppl=rep["perplexity"] + 0.05
+        )
+        assert rep2["within_gate"]
+        rep3 = perplexity_report(
+            params, cfg, seqs, baseline_ppl=rep["perplexity"] + 5.0
+        )
+        assert not rep3["within_gate"]
+
+    def test_random_model_ppl_near_vocab(self, tiny_model):
+        # A randomly initialized model is near-uniform: PPL ~ vocab size.
+        params, cfg = tiny_model
+        rng = np.random.default_rng(2)
+        seqs = [list(rng.integers(0, cfg.vocab_size, size=32)) for _ in range(4)]
+        ppl = perplexity(params, cfg, seqs)
+        assert 0.2 * cfg.vocab_size < ppl < 5 * cfg.vocab_size
