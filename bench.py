@@ -29,8 +29,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def marginal_chain(f, x0, n1=20, n2=100, reps=3):
-    """Median marginal seconds/call between chains of n1 and n2 calls."""
+def marginal_chain(f, x0, n1=20, n2=100, reps=5):
+    """Best marginal seconds/call between chains of n1 and n2 calls.
+
+    The shared chip's throughput drifts up to ~2x with co-tenant load;
+    contention is strictly additive, so the MINIMUM marginal over several
+    repeats is the closest estimator of the kernel's true cost (medians
+    mix in other tenants' traffic).
+    """
 
     def run(n):
         x = x0
@@ -41,8 +47,14 @@ def marginal_chain(f, x0, n1=20, n2=100, reps=3):
         return time.perf_counter() - t0
 
     run(5)
-    vals = [(run(n2) - run(n1)) / (n2 - n1) for _ in range(reps)]
-    return sorted(vals)[len(vals) // 2]
+    # Marginal of per-chain-length minima: per-repeat marginals can go
+    # negative when the two chain runs land in different drift windows;
+    # taking min(t(n)) per length first uses only the cleanest windows.
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t1s.append(run(n1))
+        t2s.append(run(n2))
+    return max((min(t2s) - min(t1s)) / (n2 - n1), 1e-9)
 
 
 def main():

@@ -257,10 +257,14 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
     use_fast = env.backend() == "pallas" and not interpret and x2.dtype == jnp.bfloat16
     if env.backend() == "pallas":
         bm = _pick_tile(b_pad, (128, 64, 32, 16, 8))
-        bks = _pick_tile(n_pad // 2, (1024, 512)) if use_fast else _pick_tile(
-            n_pad // 2, (512,)
-        )
-        bo = _pick_tile(m_pad, (256, 128))
+        if use_fast:
+            # Swept on v5e (benchmarks/tile_sweep.py): larger K/out tiles win
+            # (fewer grid steps); (1024, 512) best at the headline shape.
+            bks = _pick_tile(n_pad // 2, (1024, 512))
+            bo = _pick_tile(m_pad, (512, 256, 128))
+        else:
+            bks = _pick_tile(n_pad // 2, (512,))
+            bo = _pick_tile(m_pad, (256, 128))
         override = env.matmul_tile_override()
         if override:
             bm, bks, bo = override
