@@ -420,6 +420,108 @@ def build_micro(packed, scales, level, bks=512, bo=512, bm=16, dimsem=False):
     return run
 
 
+def _bf16_bits_consts():
+    import ml_dtypes
+
+    return [
+        int(b)
+        for b in np.asarray(NF4_CODE, np.float32)
+        .astype(ml_dtypes.bfloat16)
+        .view(np.uint16)
+    ]
+
+
+def tree_select_bits_int(b, bit0):
+    """Select tree producing bf16 BIT PATTERNS (as i32) keyed on bits
+    [bit0, bit0+4) of b — the ALU-only alternative to the table gather."""
+    c = _bf16_bits_consts()
+    b0 = (b & (1 << bit0)) != 0
+    b1 = (b & (2 << bit0)) != 0
+    b2 = (b & (4 << bit0)) != 0
+    b3 = (b & (8 << bit0)) != 0
+    p = [jnp.where(b0, c[2 * i + 1], c[2 * i]) for i in range(8)]
+    q = [jnp.where(b1, p[2 * i + 1], p[2 * i]) for i in range(4)]
+    r = [jnp.where(b2, q[2 * i + 1], q[2 * i]) for i in range(2)]
+    return jnp.where(b3, r[1], r[0])
+
+
+def make_v9_kernel(nchunks: int, mode: str):
+    """Byte->word decode per chunk; mode selects gather / ALU-tree / an
+    alternating hybrid (gather unit and vector ALU may pipeline
+    independently)."""
+
+    def kernel(x_ref, p_ref, s_ref, tlo_ref, thi_ref, o_ref, acc_ref):
+        ik = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(ik == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        b = p_ref[:].astype(jnp.int32)
+        rows = b.shape[0]
+        xt = x_ref[:]
+        s_all = s_ref[:].astype(jnp.bfloat16)
+        nb = 2 * rows // NF4_BLOCK
+        for c in range(nchunks):
+            sl = slice(c * 128, (c + 1) * 128)
+            use_tree = mode == "tree" or (mode == "hybrid" and c % 2 == 1)
+            if use_tree:
+                hi = tree_select_bits_int(b[:, sl], 4)
+                lo = tree_select_bits_int(b[:, sl], 0)
+                word = (hi << 16) | lo
+            else:
+                idx = b[:, sl] & 127
+                g1 = jnp.take_along_axis(tlo_ref[:], idx, axis=1)
+                g2 = jnp.take_along_axis(thi_ref[:], idx, axis=1)
+                word = jnp.where(b[:, sl] >= 128, g2, g1)
+            wv = pltpu.bitcast(word, jnp.bfloat16)
+            wv = (
+                wv.reshape(nb, NF4_BLOCK, 128) * s_all[:, sl][:, None, :]
+            ).reshape(2 * rows, 128)
+            acc_ref[:, sl] += jnp.dot(xt, wv, preferred_element_type=jnp.float32)
+
+        @pl.when(ik == nk - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def build_v9(packed, scales, mode, bks=1024, bo=512, bm=16):
+    khalf, m_pad = packed.shape
+    nk = khalf // bks
+    no = m_pad // bo
+    tlo, thi = word_tables()
+    tlo = jnp.broadcast_to(tlo, (bks, 128))
+    thi = jnp.broadcast_to(thi, (bks, 128))
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            make_v9_kernel(bo // 128, mode),
+            grid=(1, no, nk),
+            in_specs=[
+                pl.BlockSpec(
+                    (bm, 2 * bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((bks, bo), lambda b, o, k: (k, o), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (2 * bks // NF4_BLOCK, bo),
+                    lambda b, o, k: (k, o),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((bks, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bks, 128), lambda b, o, k: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda b, o, k: (b, o), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bm, m_pad), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        )(x, packed, scales, tlo, thi)
+
+    return run
+
+
 # --------------------------------------------------------------------------
 # v8: manual software pipeline.  Grid is (batch-tile, out-tile) only; the K
 # loop runs inside the body with explicit double-buffered DMA of packed
@@ -670,10 +772,10 @@ def main():
         from nf4_tpu.ops.matmul import nf4_matmul
 
         contenders = [
-            ("shipped bytetable", jax.jit(lambda xc: nf4_matmul(xc, pw)), True),
-            ("v8 dot-first 1024x256", build_v8(pw.packed, pw.scales, bks=1024, bo=256), True),
-            ("v8 dot-first 512x256", build_v8(pw.packed, pw.scales, bks=512, bo=256), True),
-            ("conv floor 1024x256", build_micro(pw.packed, pw.scales, "conv", bks=1024, bo=256), False),
+            ("shipped gather 1024x512", jax.jit(lambda xc: nf4_matmul(xc, pw)), True),
+            ("v9 tree 1024x512", build_v9(pw.packed, pw.scales, "tree"), True),
+            ("v9 hybrid 1024x512", build_v9(pw.packed, pw.scales, "hybrid"), True),
+            ("conv floor 1024x512", build_micro(pw.packed, pw.scales, "conv", bks=1024, bo=512), False),
         ]
         ok = {}
         for name, run, do_check in contenders:  # compile + correctness pass
