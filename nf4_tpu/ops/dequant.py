@@ -64,15 +64,18 @@ def _expand_scales_sublane(s: jnp.ndarray, block: int, rows: int) -> jnp.ndarray
 
 def _make_dequant_kernel(lut_mode: str):
     def kernel(p_ref, s_ref, lut_ref, o_ref):
-        h = pl.program_id(2)
         b = p_ref[:].astype(jnp.int32)
-        nib = jnp.where(h == 0, b & 0xF, (b >> 4) & 0xF)
+        rows = b.shape[0]
         if lut_mode == "gather":
-            vals = nf4_lookup_gather(nib, lut_ref[:])
+            v_lo = nf4_lookup_gather(b & 0xF, lut_ref[:])
+            v_hi = nf4_lookup_gather((b >> 4) & 0xF, lut_ref[:])
         else:
-            vals = nf4_lookup(nib)
-        sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, vals.shape[0])
-        o_ref[0] = (vals * sexp).astype(o_ref.dtype)
+            v_lo = nf4_lookup(b & 0xF)
+            v_hi = nf4_lookup((b >> 4) & 0xF)
+        sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, rows)
+        # Interleave the planes on sublanes: K row 2j+h <- plane h row j.
+        pair = jnp.stack([v_lo * sexp, v_hi * sexp], axis=1)
+        o_ref[:] = pair.reshape(2 * rows, -1).astype(o_ref.dtype)
 
     return kernel
 
@@ -89,29 +92,24 @@ def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
     # scoped-VMEM limit with double buffering; (1024, 512) blows it.
     bks = _pick_tile(khalf, (512,))
     bo = _pick_tile(m_pad, (256, 128))
-    nj = khalf // bks
-    grid = (nj, m_pad // bo, 2)
+    grid = (khalf // bks, m_pad // bo)
 
     out = pl.pallas_call(
         _make_dequant_kernel(lut_mode),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bks, bo), lambda j, o, h: (j, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bks, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (bks // PAIR_BLOCK, bo),
-                lambda j, o, h: (j, o),
-                memory_space=pltpu.VMEM,
+                (bks // PAIR_BLOCK, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 128), lambda j, o, h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda j, o: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bks, bo), lambda j, o, h: (h, j, o), memory_space=pltpu.VMEM
+            (2 * bks, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, khalf, m_pad), kernel_dtype),
+        out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), kernel_dtype),
         interpret=interpret,
     )(packed, scales, jnp.asarray(nf4_table_row()))
-    # Interleave planes: K row 2j = plane 0 row j, K row 2j+1 = plane 1 row j.
-    out = jnp.moveaxis(out, 0, 1).reshape(2 * khalf, m_pad)
     return out.astype(dtype) if kernel_dtype != dtype else out
 
 
