@@ -98,7 +98,10 @@ def main():
     sizes = [int(s) for s in args.sizes.split(",")]
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float16
     on_tpu = jax.default_backend() == "tpu"
-    opt_backend = "pallas" if on_tpu else "jnp"
+    # The optimized arm is the PRODUCT configuration: 'auto' applies the
+    # size dispatch (kernels for large tensors, XLA path for small), the
+    # same way the reference benchmarks its own dispatching entry point.
+    opt_backend = "auto" if on_tpu else "jnp"
     default_backend = os.environ.get("NF4TPU_BACKEND", "auto")
     print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
 
@@ -115,8 +118,8 @@ def main():
         base = benchmark_backend(pw, "jnp", args.iterations)
         opt = benchmark_backend(pw, opt_backend, args.iterations)
         os.environ["NF4TPU_BACKEND"] = default_backend
-        print(f"  XLA ref: {base}")
-        print(f"  Pallas:  {opt}")
+        print(f"  XLA ref:   {base}")
+        print(f"  optimized: {opt}")
         speedup = base.median / max(opt.median, 1e-12)
         total_base += base.median
         total_opt += opt.median
