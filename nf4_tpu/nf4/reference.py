@@ -85,11 +85,13 @@ def quantize_to_code(x: np.ndarray, code: np.ndarray) -> np.ndarray:
 
     Threshold semantics: a value goes to the higher index only when strictly
     greater than the midpoint, matching the ``x > mid`` comparisons of the
-    bitsandbytes quantizer trees.
+    bitsandbytes quantizer trees — i.e. ``idx = #{midpoints < x}``
+    (``np.searchsorted(mids, x, side='left')``; the semantics are pinned by
+    tests/test_reference.py, and a vectorized binary-search reimplementation
+    measured SLOWER than numpy's C loop, so keep searchsorted).  For bulk
+    quantization use the device path (``nf4.fast_quant``).
     """
     mids = code_midpoints(code)
-    # searchsorted(side='left') counts mids strictly below x, so x == mid
-    # resolves to the lower index (strict-greater promotion semantics).
     idx = np.searchsorted(mids, np.asarray(x, dtype=np.float32), side="left")
     return idx.astype(np.uint8)
 

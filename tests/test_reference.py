@@ -64,6 +64,27 @@ class TestCodebooks:
         idx_above = quantize_to_code(np.nextafter(mids, np.float32(2.0)), code)
         np.testing.assert_array_equal(idx_above, np.arange(1, 16))
 
+    def test_quantize_to_code_matches_searchsorted(self, rng):
+        # The vectorized binary search must be bit-identical to
+        # np.searchsorted(side='left') on both codebooks, including exact
+        # midpoints, their fp32 neighbors, and out-of-range values.
+        from nf4_tpu.nf4.lut import dynamic_code
+
+        for code in (NF4_CODE, dynamic_code()):
+            mids = code_midpoints(code)
+            x = np.concatenate(
+                [
+                    rng.uniform(-1.5, 1.5, size=200_000).astype(np.float32),
+                    mids,
+                    np.nextafter(mids, np.float32(-2.0)),
+                    np.nextafter(mids, np.float32(2.0)),
+                    np.asarray([-2.0, 2.0, 0.0], np.float32),
+                ]
+            )
+            got = quantize_to_code(x, code)
+            want = np.searchsorted(mids, x, side="left").astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
 
 class TestPacking:
     def test_pack_roundtrip(self, rng):
