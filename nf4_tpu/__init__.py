@@ -32,7 +32,7 @@ from .nf4.reference import QuantState, dequantize_nf4, quantize_nf4
 from .ops.dequant import dequantize, dequantize_t
 from .ops.matmul import nf4_matmul
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "NF4_CODE",

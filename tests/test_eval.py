@@ -47,7 +47,10 @@ class TestPerplexity:
         seqs = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (5, 9, 12, 7)]
         a = perplexity(params, cfg, seqs, batch_size=1)
         b = perplexity(params, cfg, seqs, batch_size=4)
-        np.testing.assert_allclose(a, b, rtol=2e-4)
+        # Batch width changes kernel tiling and bf16 accumulation order; on
+        # TPU the spread is larger than on the CPU reference path.
+        rtol = 5e-3 if jax.default_backend() == "tpu" else 2e-4
+        np.testing.assert_allclose(a, b, rtol=rtol)
 
     def test_report_gate(self, tiny_model):
         params, cfg = tiny_model

@@ -56,6 +56,23 @@ class TestFusedMatmul:
         # bf16 inputs: ~3 decimal digits; accumulation in fp32.
         np.testing.assert_allclose(y, expected, rtol=2e-2, atol=2e-2 * np.abs(expected).max())
 
+    @pytest.mark.parametrize("backend", ["pallas", "jnp"])
+    def test_fp16_activations(self, rng, monkeypatch, backend):
+        # f16 rides the fp32 exact kernel (Mosaic has no f16 type).
+        monkeypatch.setenv("NF4TPU_BACKEND", backend)
+        w = rng.standard_normal((128, 1024)).astype(np.float32) * 0.05
+        x = rng.standard_normal((8, 1024)).astype(np.float32)
+        pw = quantize_for_tpu(w, dtype=jnp.float16)
+        y = nf4_matmul(jnp.asarray(x, dtype=jnp.float16), pw)
+        assert y.dtype == jnp.float16
+        expected = _expected(x, w)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32),
+            expected,
+            rtol=2e-3,
+            atol=2e-3 * np.abs(expected).max(),
+        )
+
     def test_backends_agree_closely(self, rng, monkeypatch):
         w = rng.standard_normal((256, 1024)).astype(np.float32) * 0.05
         x = rng.standard_normal((4, 1024)).astype(np.float32)
