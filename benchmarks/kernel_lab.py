@@ -523,6 +523,78 @@ def build_v9(packed, scales, mode, bks=1024, bo=512, bm=16):
 
 
 # --------------------------------------------------------------------------
+# v10: emit_pipeline over K inside an (out-tile) grid — Mosaic's supported
+# way to software-pipeline manual loops, with x pre-tiled (nk, bm, 2bks) so
+# batch stays on sublanes (v8 put batch on lanes: 16/128 utilization).
+
+
+def build_v10(packed, scales, bks=1024, bo=512, bm=16):
+    khalf, m_pad = packed.shape
+    nk = khalf // bks
+    no = m_pad // bo
+    nsc = 2 * bks // NF4_BLOCK
+    tlo, thi = word_tables()
+    tlo = jnp.broadcast_to(tlo, (bks, 128))
+    thi = jnp.broadcast_to(thi, (bks, 128))
+
+    def outer(x_hbm, p_hbm, s_hbm, tlo_ref, thi_ref, o_ref, acc_ref):
+        o = pl.program_id(0)
+
+        def inner(x_ref, p_ref, s_ref):
+            b = p_ref[:].astype(jnp.int32)
+            idx = b & 127
+            sel = b >= 128
+            s_all = s_ref[:].astype(jnp.bfloat16)
+            nb = 2 * bks // NF4_BLOCK
+            xt = x_ref[0]
+            for c in range(bo // 128):
+                sl = slice(c * 128, (c + 1) * 128)
+                g1 = jnp.take_along_axis(tlo_ref[:], idx[:, sl], axis=1)
+                g2 = jnp.take_along_axis(thi_ref[:], idx[:, sl], axis=1)
+                word = jnp.where(sel[:, sl], g2, g1)
+                wv = pltpu.bitcast(word, jnp.bfloat16)
+                wv = (
+                    wv.reshape(nb, NF4_BLOCK, 128) * s_all[:, sl][:, None, :]
+                ).reshape(2 * bks, 128)
+                acc_ref[:, sl] += jnp.dot(
+                    xt, wv, preferred_element_type=jnp.float32
+                )
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        pipeline = pltpu.emit_pipeline(
+            inner,
+            grid=(nk,),
+            in_specs=[
+                pl.BlockSpec((1, bm, 2 * bks), lambda k: (k, 0, 0)),
+                pl.BlockSpec((bks, bo), lambda k, _o=None: (k, o)),
+                pl.BlockSpec((nsc, bo), lambda k: (k, o)),
+            ],
+        )
+        pipeline(x_hbm, p_hbm, s_hbm)
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    @jax.jit
+    def run(x):
+        x3 = x.reshape(bm, nk, 2 * bks).transpose(1, 0, 2)  # (nk, bm, 2bks)
+        return pl.pallas_call(
+            outer,
+            grid=(no,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((bks, 128), lambda o: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bks, 128), lambda o: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda o: (0, o), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bm, m_pad), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        )(x3, packed, scales, tlo, thi)
+
+    return run
+
+
+# --------------------------------------------------------------------------
 # v8: manual software pipeline.  Grid is (batch-tile, out-tile) only; the K
 # loop runs inside the body with explicit double-buffered DMA of packed
 # bytes + scales, and decode of tile k+1 is issued in the same straight-line
@@ -773,8 +845,8 @@ def main():
 
         contenders = [
             ("shipped gather 1024x512", jax.jit(lambda xc: nf4_matmul(xc, pw)), True),
-            ("v9 tree 1024x512", build_v9(pw.packed, pw.scales, "tree"), True),
-            ("v9 hybrid 1024x512", build_v9(pw.packed, pw.scales, "hybrid"), True),
+            ("v10 emit_pipeline 1024x512", build_v10(pw.packed, pw.scales), True),
+            ("v10 emit_pipeline 512x512", build_v10(pw.packed, pw.scales, bks=512), True),
             ("conv floor 1024x512", build_micro(pw.packed, pw.scales, "conv", bks=1024, bo=512), False),
         ]
         ok = {}

@@ -39,6 +39,8 @@ __all__ = [
     "KVCache",
     "init_params",
     "quantize_dense_params",
+    "fuse_rows",
+    "split_fused",
     "init_kv_cache",
     "forward",
     "prefill",
@@ -80,12 +82,21 @@ Weight = Any  # PackedNF4 (quantized) or jax.Array (dense)
 
 @struct.dataclass
 class LayerParams:
-    wq: Weight
-    wk: Weight
-    wv: Weight
+    """Per-layer weights.  Column-parallel projections are FUSED so a decode
+    step issues one kernel per projection group instead of one per tensor
+    (q+k+v and gate+up each share a single packed weight / matmul), the
+    standard Megatron fusion: at TinyLlama scale this removes ~40% of the
+    per-token kernel launches, which dominate small-batch decode.
+
+    Fused layouts are interleaved per tensor-parallel shard (``groups =
+    cfg.tp_shards``): fused rows are ``concat_s [q_s; k_s; v_s]`` so a
+    contiguous 1/tp slice of the output dim is exactly one device's
+    ``[q_local; k_local; v_local]`` — column sharding needs no shuffles.
+    """
+
+    wqkv: Weight  # fused [q_dim + 2*kv_dim, hidden]
     wo: Weight
-    w_gate: Weight
-    w_up: Weight
+    w_gateup: Weight  # fused [2*intermediate, hidden]
     w_down: Weight
     input_norm: jax.Array  # [hidden]
     post_attn_norm: jax.Array  # [hidden]
@@ -123,6 +134,40 @@ def _linear(w: np.ndarray, cfg: LlamaConfig, shards: int = 1) -> Weight:
     return jnp.asarray(w, dtype=cfg.dtype)
 
 
+def fuse_rows(ws, groups: int = 1) -> np.ndarray:
+    """Fuse dense [m_i, n] weights along the out dim, interleaved per shard:
+    rows = concat over s of [w0_s; w1_s; ...] with w_s = w[s*m/g:(s+1)*m/g]."""
+    ws = [np.asarray(w) for w in ws]
+    if groups == 1:
+        return np.concatenate(ws, axis=0)
+    blocks = []
+    for s in range(groups):
+        for w in ws:
+            mg = w.shape[0] // groups
+            blocks.append(w[s * mg : (s + 1) * mg])
+    return np.concatenate(blocks, axis=0)
+
+
+def split_fused(y: jax.Array, sizes, groups: int = 1):
+    """Inverse of :func:`fuse_rows` on the output features of a fused matmul:
+    y [..., sum(sizes)] -> one array per entry of ``sizes``."""
+    if groups == 1:
+        out, off = [], 0
+        for size in sizes:
+            out.append(y[..., off : off + size])
+            off += size
+        return out
+    block = sum(sizes) // groups
+    parts = [[] for _ in sizes]
+    for s in range(groups):
+        off = s * block
+        for i, size in enumerate(sizes):
+            sz = size // groups
+            parts[i].append(y[..., off : off + sz])
+            off += sz
+    return [jnp.concatenate(p, axis=-1) for p in parts]
+
+
 def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
     """Random-init a model (host-side numpy), quantizing per cfg.quantize.
 
@@ -135,17 +180,21 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
     def dense(mo, ni):
         return (rng.standard_normal((mo, ni)) * (ni**-0.5)).astype(np.float32)
 
+    g = cfg.tp_shards
     layers = []
     for _ in range(cfg.num_layers):
         layers.append(
             LayerParams(
-                wq=_linear(dense(cfg.q_dim, h), cfg),
-                wk=_linear(dense(cfg.kv_dim, h), cfg),
-                wv=_linear(dense(cfg.kv_dim, h), cfg),
-                wo=_linear(dense(h, cfg.q_dim), cfg, shards=cfg.tp_shards),
-                w_gate=_linear(dense(inter, h), cfg),
-                w_up=_linear(dense(inter, h), cfg),
-                w_down=_linear(dense(h, inter), cfg, shards=cfg.tp_shards),
+                wqkv=_linear(
+                    fuse_rows(
+                        [dense(cfg.q_dim, h), dense(cfg.kv_dim, h), dense(cfg.kv_dim, h)],
+                        g,
+                    ),
+                    cfg,
+                ),
+                wo=_linear(dense(h, cfg.q_dim), cfg, shards=g),
+                w_gateup=_linear(fuse_rows([dense(inter, h), dense(inter, h)], g), cfg),
+                w_down=_linear(dense(h, inter), cfg, shards=g),
                 input_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_attn_norm=jnp.ones((h,), dtype=jnp.float32),
             )
@@ -169,17 +218,15 @@ def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_nor
     ``dense_layers[i]`` maps {"wq","wk","wv","wo","w_gate","w_up","w_down",
     "input_norm","post_attn_norm"} to numpy arrays; linears are quantized.
     """
+    g = cfg.tp_shards
     built = []
     for lw in dense_layers:
         built.append(
             LayerParams(
-                wq=_linear(lw["wq"], cfg),
-                wk=_linear(lw["wk"], cfg),
-                wv=_linear(lw["wv"], cfg),
-                wo=_linear(lw["wo"], cfg, shards=cfg.tp_shards),
-                w_gate=_linear(lw["w_gate"], cfg),
-                w_up=_linear(lw["w_up"], cfg),
-                w_down=_linear(lw["w_down"], cfg, shards=cfg.tp_shards),
+                wqkv=_linear(fuse_rows([lw["wq"], lw["wk"], lw["wv"]], g), cfg),
+                wo=_linear(lw["wo"], cfg, shards=g),
+                w_gateup=_linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg),
+                w_down=_linear(lw["w_down"], cfg, shards=g),
                 input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
                 post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
             )
@@ -284,9 +331,13 @@ def _layer_forward(
     b, s, h = x.shape
 
     attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
-    q = _matmul(attn_in, lp.wq).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = _matmul(attn_in, lp.wk).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = _matmul(attn_in, lp.wv).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    qkv = _matmul(attn_in, lp.wqkv)  # ONE kernel for q+k+v
+    q, k, v = split_fused(
+        qkv, (cfg.q_dim, cfg.kv_dim, cfg.kv_dim), groups=cfg.tp_shards
+    )
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
 
     q = q.transpose(0, 2, 1, 3)  # [B,H,S,D]
     k = k.transpose(0, 2, 1, 3)
@@ -312,8 +363,10 @@ def _layer_forward(
     x = x + reduce_fn(_matmul(attn, lp.wo, out_dtype=jnp.float32)).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps)
-    gate = _matmul(mlp_in, lp.w_gate)
-    up = _matmul(mlp_in, lp.w_up)
+    gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
+    gate, up = split_fused(
+        gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
+    )
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
     x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
     return x, k_cache, v_cache

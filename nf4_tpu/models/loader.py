@@ -127,7 +127,7 @@ def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[Llama
 # Packed-format persistence (quantize once, reload fast)
 
 
-_LINEAR_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_LINEAR_FIELDS = ("wqkv", "wo", "w_gateup", "w_down")
 _NORM_FIELDS = ("input_norm", "post_attn_norm")
 
 

@@ -7,7 +7,9 @@ expressed with jax.shard_map so the Pallas kernels run on per-device local
 chunks with explicit XLA collectives over ICI):
 
 * Column-parallel (shard out_features -> the LANE dim of the packed layout):
-  wq, wk, wv, w_gate, w_up.  Attention heads land contiguously per device.
+  the FUSED wqkv and w_gateup projections, whose rows are interleaved per
+  shard at pack time (models.llama.fuse_rows) so each device's contiguous
+  slice is exactly its [q; k; v] (resp. [gate; up]) block.
 * Row-parallel (shard in_features -> whole K-chunks of the packed layout,
   enabled by ``PackedNF4.shards``): wo, w_down, followed by a ``psum``.
   One psum per attention block + one per MLP — the minimum for this mapping.
@@ -48,7 +50,7 @@ __all__ = [
     "tp_decode_step",
 ]
 
-_COL_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")
+_COL_PARALLEL = ("wqkv", "w_gateup")
 _ROW_PARALLEL = ("wo", "w_down")
 _REPLICATED = ("input_norm", "post_attn_norm")
 
@@ -59,6 +61,11 @@ def tp_local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     assert cfg.num_kv_heads % tp == 0, (
         f"num_kv_heads {cfg.num_kv_heads} % tp {tp} != 0 "
         "(KV-head replication not yet supported)"
+    )
+    assert cfg.tp_shards == tp, (
+        f"params were packed for tp_shards={cfg.tp_shards} but the mesh has "
+        f"tp={tp}; fused column-parallel weights are interleaved per shard, "
+        "so the degrees must match (re-quantize with the right tp_shards)"
     )
     return dataclasses.replace(
         cfg,

@@ -119,7 +119,7 @@ class TestTPForward:
     def test_weights_actually_sharded(self, setup):
         mesh, params = setup
         sharded, _ = shard_params(localize_params(params, TP), mesh)
-        wq_packed = sharded.layers.wq.packed
+        wq_packed = sharded.layers.wqkv.packed
         # Each device holds 1/TP of the lane dim.
         shard_shapes = {
             s.data.shape for s in wq_packed.addressable_shards
