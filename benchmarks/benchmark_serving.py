@@ -118,6 +118,9 @@ def main():
     ap.add_argument("--prefill-len", type=int, default=512)
     ap.add_argument("--max-seq-len", type=int, default=1024,
                     help="cap context to bound KV memory in the benchmark")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve via the int8-recode representation (2x weight "
+                    "bytes, ~2.5x decode; values stay on the NF4 grid)")
     args = ap.parse_args()
 
     cfg = configs.get_config(args.model)
@@ -132,6 +135,13 @@ def main():
     params = init_params(cfg, seed=0)
     print(f"init+quantize: {time.perf_counter() - t0:.1f}s")
     wbytes = model_weight_bytes(cfg)
+    if args.int8:
+        from nf4_tpu.models.llama import recode_params_int8
+
+        t0 = time.perf_counter()
+        params = jax.block_until_ready(recode_params_int8(params))
+        print(f"int8 recode: {time.perf_counter() - t0:.1f}s (2x weight bytes)")
+        wbytes = wbytes * 2  # int8 stream is twice the packed-NF4 stream
 
     print(f"\n--- decode (weight stream ~{wbytes / 2**20:.0f} MiB/token-step) ---")
     for b in (int(s) for s in args.batch_sizes.split(",")):

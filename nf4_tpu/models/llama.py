@@ -39,6 +39,7 @@ __all__ = [
     "KVCache",
     "init_params",
     "quantize_dense_params",
+    "recode_params_int8",
     "fuse_rows",
     "split_fused",
     "init_kv_cache",
@@ -260,7 +261,26 @@ def _matmul(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
     out_dtype = out_dtype or x.dtype
     if isinstance(w, PackedNF4):
         return nf4_matmul(x, w, out_dtype=out_dtype)
+    from ..ops.int8_serve import PackedInt8, int8_matmul
+
+    if isinstance(w, PackedInt8):
+        return int8_matmul(x, w, out_dtype=out_dtype)
     return jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def recode_params_int8(params: "LlamaParams") -> "LlamaParams":
+    """Convert all quantized projections to the int8-recode serving format
+    (ops.int8_serve): ~2.5x faster decode for 2x weight memory, values stay
+    on the NF4 grid.  Checkpoints keep the 4-bit format; call this after
+    loading when serving throughput matters more than HBM footprint."""
+    from ..ops.int8_serve import recode_int8_weight
+
+    def recode(leaf):
+        return recode_int8_weight(leaf) if isinstance(leaf, PackedNF4) else leaf
+
+    return jax.tree.map(
+        recode, params, is_leaf=lambda l: isinstance(l, PackedNF4)
+    )
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:

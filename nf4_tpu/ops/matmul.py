@@ -260,8 +260,18 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
         if use_fast:
             # Swept on v5e (benchmarks/tile_sweep.py): larger K/out tiles win
             # (fewer grid steps); (1024, 512) best at the headline shape.
-            bks = _pick_tile(n_pad // 2, (1024, 512))
-            bo = _pick_tile(m_pad, (512, 256, 128))
+            # Decode-sized weights (a few MB) are grid-overhead bound: widen
+            # the out tile as far as VMEM comfortably allows.
+            khalf = n_pad // 2
+            bks = _pick_tile(khalf, (1024, 512))
+            if khalf * m_pad <= 16 * 2**20:  # small-weight regime
+                bo = next(
+                    c
+                    for c in (2048, 1024, 512, 256, 128)
+                    if m_pad % c == 0 and bks * c <= 4 * 2**20
+                )
+            else:
+                bo = _pick_tile(m_pad, (512, 256, 128))
         else:
             bks = _pick_tile(n_pad // 2, (512,))
             bo = _pick_tile(m_pad, (256, 128))
