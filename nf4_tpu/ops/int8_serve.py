@@ -50,6 +50,9 @@ class PackedInt8:
     shape: tuple = struct.field(pytree_node=False)
     padded_shape: tuple = struct.field(pytree_node=False)
     dtype: jnp.dtype = struct.field(pytree_node=False)
+    # K rows are stored as `shards` independently padded chunks (inherited
+    # from the source PackedNF4); activations must be padded per chunk.
+    shards: int = struct.field(pytree_node=False, default=1)
 
     @property
     def out_features(self) -> int:
@@ -94,6 +97,7 @@ def recode_int8_weight(pw: PackedNF4) -> PackedInt8:
         shape=pw.shape,
         padded_shape=pw.padded_shape,
         dtype=pw.dtype,
+        shards=pw.shards,
     )
 
 
@@ -172,8 +176,14 @@ def int8_matmul(x: jax.Array, p8: PackedInt8, out_dtype=None) -> jax.Array:
     x2 = x.reshape(B, n)
     bm_unit = 16 if x.dtype in (jnp.bfloat16, jnp.float16) else 8
     b_pad = pad_to(max(B, 1), bm_unit)
-    if b_pad != B or n_pad != n:
-        x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
+    if b_pad != B:
+        x2 = jnp.pad(x2, ((0, b_pad - B), (0, 0)))
+    if n_pad != n:
+        # Pad per K-chunk: each chunk's rows are independently padded.
+        s = p8.shards
+        xc = x2.reshape(b_pad, s, n // s)
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (0, n_pad // s - n // s)))
+        x2 = xc.reshape(b_pad, n_pad)
 
     # Kernel path needs bf16 activations (bf16 x bf16 MXU); fp32/f16 ride
     # the XLA path — int8 recode targets the bf16 serving loop.

@@ -77,8 +77,10 @@ def tp_local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
 
 
 def _localize_weight(w, tp: int, kind: str):
-    """Rewrite PackedNF4 static metadata from global to per-device shapes."""
-    if not isinstance(w, PackedNF4):
+    """Rewrite quantized-weight static metadata to per-device shapes."""
+    from ..ops.int8_serve import PackedInt8
+
+    if not isinstance(w, (PackedNF4, PackedInt8)):
         return w  # dense arrays carry their shape in the leaf itself
     m, n = w.shape
     m_pad, n_pad = w.padded_shape
@@ -87,9 +89,19 @@ def _localize_weight(w, tp: int, kind: str):
             f"out_features {m} (padded {m_pad}) not col-shardable over {tp}"
         )
         return w.replace(shape=(m // tp, n), padded_shape=(m_pad // tp, n_pad))
+    if isinstance(w, PackedNF4):
+        assert w.shards == tp, (
+            f"row-parallel weight must be packed with shards={tp}, got "
+            f"{w.shards} (set LlamaConfig.tp_shards before quantizing)"
+        )
+        return w.replace(
+            shape=(m, n // tp), padded_shape=(m_pad, n_pad // tp), shards=1
+        )
+    # PackedInt8: K rows are chunk-contiguous, so a plain 1/tp slice of the
+    # row dim is one device's K chunk.
     assert w.shards == tp, (
-        f"row-parallel weight must be packed with shards={tp}, got {w.shards} "
-        "(set LlamaConfig.tp_shards before quantizing)"
+        f"row-parallel int8 weight must carry shards={tp}, got {w.shards} "
+        "(recode from a PackedNF4 quantized with the right tp_shards)"
     )
     return w.replace(
         shape=(m, n // tp), padded_shape=(m_pad, n_pad // tp), shards=1
@@ -112,11 +124,15 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
 
 def _weight_spec(w, kind: str, axis: str):
     """PartitionSpec pytree matching one (stacked) weight."""
-    if isinstance(w, PackedNF4):
+    from ..ops.int8_serve import PackedInt8
+
+    if isinstance(w, (PackedNF4, PackedInt8)):
         if kind == "col":  # lane dim (last) holds out_features
             spec = P(None, None, axis)
-        else:  # sublane dim (middle) holds K-chunks
+        else:  # sublane dim (middle) holds K rows/chunks
             spec = P(None, axis, None)
+        if isinstance(w, PackedInt8):
+            return w.replace(values=spec, scales=spec)
         return w.replace(packed=spec, scales=spec)
     # Dense [L, m, n]: col-parallel shards m (axis 1), row-parallel n (axis 2).
     return P(None, axis, None) if kind == "col" else P(None, None, axis)

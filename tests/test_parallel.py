@@ -154,3 +154,24 @@ class TestTPForward:
             rtol=2e-2,
             atol=2e-2,
         )
+
+
+class TestTPInt8:
+    def test_int8_tp_matches_single_chip(self, setup):
+        """TP forward over int8-recoded weights matches the single-chip int8
+        forward (the production serving configuration)."""
+        from nf4_tpu.models.llama import recode_params_int8
+
+        mesh, params = setup
+        p8 = recode_params_int8(params)
+        sharded, _ = shard_params(localize_params(p8, TP), mesh)
+
+        tokens = jnp.arange(8, dtype=jnp.int32).reshape(2, 4) % TP_CFG.vocab_size
+        ref, _ = prefill(p8, TP_CFG, tokens)
+        tp_logits, _ = tp_prefill(sharded, TP_CFG, mesh, tokens)
+        np.testing.assert_allclose(
+            np.asarray(tp_logits, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=2e-2,
+            atol=2e-2,
+        )
