@@ -108,6 +108,25 @@ def main():
         f"{frac*100:.1f}% of calibrated roofline"
     )
 
+    # --- 2b. Side: int8-recode serving mode on the same shapes -----------
+    from nf4_tpu.ops.int8_serve import int8_matmul, recode_int8_weight
+
+    for m, n in shapes:
+        w = (rng.standard_normal((m, n)) * 0.02).astype(np.float32)
+        p8 = recode_int8_weight(quantize_for_tpu(w, dtype=jnp.bfloat16))
+        xb = jax.random.normal(jax.random.PRNGKey(4), (batch, n), jnp.bfloat16)
+
+        def step8(x, p8=p8):
+            y = int8_matmul(x, p8)
+            return x + y[:, 0:1].astype(x.dtype) * jnp.bfloat16(1e-30)
+
+        dt = marginal_chain(jax.jit(step8), xb)
+        gbps = p8.nbytes / dt / 1e9
+        log(
+            f"int8-recode {m}x{n} b={batch}: {dt*1e3:.3f} ms -> {gbps:.0f} GB/s "
+            f"({gbps/roofline_gbps*100:.0f}% of roofline; 2x bytes vs NF4)"
+        )
+
     # --- 3. Side: dequant-only, reference protocol-B sizes ---------------
     # (reference benchmark_optimized.py:163-167: 1K/4K/8K square weights)
     for size in (1024, 4096, 8192):
