@@ -98,6 +98,63 @@ def measure_prefill(params, cfg, batch: int, seqlen: int, repeats=3):
     return Stats(vals)
 
 
+def synthetic_params(cfg):
+    """Structurally exact LlamaParams with random packed codes/scales built
+    directly on device — same compute and memory traffic as a real model
+    (logits are garbage; use only for throughput measurement)."""
+    from nf4_tpu.models.llama import LayerParams, LlamaParams
+    from nf4_tpu.nf4.format import PackedNF4, pad_to
+    from nf4_tpu.nf4.reference import NF4_BLOCK
+
+    key = jax.random.PRNGKey(0)
+
+    def pw(m, n, shards=1):
+        nonlocal key
+        key, k1, k2 = jax.random.split(key, 3)
+        m_pad = pad_to(m, 128)
+        n_chunk_pad = pad_to(n // shards, 1024)
+        n_pad = n_chunk_pad * shards
+        packed = jax.random.randint(k1, (n_pad // 2, m_pad), 0, 256, jnp.int32)
+        scales = jax.random.uniform(
+            k2, (n_pad // NF4_BLOCK, m_pad), jnp.float32, 0.001, 0.02
+        )
+        return PackedNF4(
+            packed=packed.astype(jnp.uint8),
+            scales=scales,
+            shape=(m, n),
+            padded_shape=(m_pad, n_pad),
+            dtype=jnp.dtype(cfg.dtype),
+            shards=shards,
+        )
+
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    g = cfg.tp_shards
+
+    def layer():
+        return LayerParams(
+            wqkv=pw(cfg.q_dim + 2 * cfg.kv_dim, h),
+            wo=pw(h, cfg.q_dim, shards=g),
+            w_gateup=pw(2 * inter, h),
+            w_down=pw(h, inter, shards=g),
+            input_norm=jnp.ones((h,), jnp.float32),
+            post_attn_norm=jnp.ones((h,), jnp.float32),
+        )
+
+    layers = [layer() for _ in range(cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    key, k3, k4 = jax.random.split(key, 3)
+    return LlamaParams(
+        embed=(jax.random.normal(k3, (cfg.vocab_size, h), jnp.float32) * 0.02).astype(
+            cfg.dtype
+        ),
+        layers=stacked,
+        final_norm=jnp.ones((h,), jnp.float32),
+        lm_head=(
+            jax.random.normal(k4, (cfg.vocab_size, h), jnp.float32) * h**-0.5
+        ).astype(cfg.dtype),
+    )
+
+
 def model_weight_bytes(cfg) -> int:
     """Packed NF4 weight-stream bytes touched per decode token."""
     per_layer = (
@@ -121,6 +178,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve via the int8-recode representation (2x weight "
                     "bytes, ~2.5x decode; values stay on the NF4 grid)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="build packed weights with random codes directly on "
+                    "device (seconds instead of minutes; identical compute/"
+                    "memory behavior, garbage logits) — for throughput "
+                    "benchmarking of big models")
     args = ap.parse_args()
 
     cfg = configs.get_config(args.model)
@@ -132,8 +194,12 @@ def main():
     print(f"model: {args.model} ({cfg.num_layers} layers, hidden {cfg.hidden_size})")
 
     t0 = time.perf_counter()
-    params = init_params(cfg, seed=0)
-    print(f"init+quantize: {time.perf_counter() - t0:.1f}s")
+    if args.synthetic:
+        params = synthetic_params(cfg)
+        print(f"synthetic init (device): {time.perf_counter() - t0:.1f}s")
+    else:
+        params = init_params(cfg, seed=0)
+        print(f"init+quantize: {time.perf_counter() - t0:.1f}s")
     wbytes = model_weight_bytes(cfg)
     if args.int8:
         from nf4_tpu.models.llama import recode_params_int8

@@ -90,7 +90,14 @@ def recode_int8_weight(pw: PackedNF4) -> PackedInt8:
     c's byte row j sits at global row c*half + j and expands to K rows
     c*chunk + 2j / 2j+1 — exactly the global K order).
     """
-    values, scales = _recode_kernelless(pw.packed, pw.scales)
+    if pw.packed.ndim >= 3:
+        # Stacked layers: convert one layer at a time — the int32 code
+        # intermediates of a whole stacked 8B tensor would blow HBM.
+        values, scales = jax.lax.map(
+            lambda ps: _recode_kernelless(ps[0], ps[1]), (pw.packed, pw.scales)
+        )
+    else:
+        values, scales = _recode_kernelless(pw.packed, pw.scales)
     return PackedInt8(
         values=values,
         scales=scales,
