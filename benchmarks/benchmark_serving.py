@@ -45,26 +45,26 @@ def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3):
     dependency structure, so no artificial chaining is needed."""
     import functools
 
-    cache = init_kv_cache(cfg, batch)
+    cache0 = init_kv_cache(cfg, batch)
 
     @jax.jit
-    def step(p, token, pos, cache_k, cache_v):
+    def step(p, token, pos, cache):
         # params must be an ARGUMENT: closing over them bakes ~1GB of
         # weights into the HLO as constants (and breaks remote compile).
         logits, new_cache = decode_step(
-            p, cfg, token=token, cache=KVCache(k=cache_k, v=cache_v), positions=pos
+            p, cfg, token=token, cache=cache, positions=pos
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return nxt, pos + 1, new_cache.k, new_cache.v
+        return nxt, pos + 1, new_cache
 
     tok0 = jnp.zeros((batch,), jnp.int32)
     pos0 = jnp.zeros((batch,), jnp.int32)
 
     def run(n):
-        tok, pos, ck, cv = tok0, pos0, cache.k, cache.v
+        tok, pos, cache = tok0, pos0, cache0
         t0 = time.perf_counter()
         for _ in range(n):
-            tok, pos, ck, cv = step(params, tok, pos, ck, cv)
+            tok, pos, cache = step(params, tok, pos, cache)
         np.asarray(jax.device_get(tok[0]))
         return time.perf_counter() - t0
 
@@ -80,15 +80,15 @@ def measure_prefill(params, cfg, batch: int, seqlen: int, repeats=3):
     seq_lens = jnp.full((batch,), seqlen, jnp.int32)
 
     @jax.jit
-    def pf(p, t, ck, cv):
-        logits, _ = forward(p, cfg, t, KVCache(k=ck, v=cv), positions, seq_lens)
+    def pf(p, t, c):
+        logits, _ = forward(p, cfg, t, c, positions, seq_lens)
         return logits[:, -1, :]
 
     def run(n):
         t = toks
         t0 = time.perf_counter()
         for _ in range(n):
-            out = pf(params, t, cache.k, cache.v)
+            out = pf(params, t, cache)
             t = t.at[:, 0:1].set(jnp.argmax(out[:, :1], axis=-1, keepdims=True).astype(jnp.int32))
         np.asarray(jax.device_get(t[0, 0]))
         return time.perf_counter() - t0
@@ -178,6 +178,8 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve via the int8-recode representation (2x weight "
                     "bytes, ~2.5x decode; values stay on the NF4 grid)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8-quantize the KV cache (cfg.kv_quant)")
     ap.add_argument("--synthetic", action="store_true",
                     help="build packed weights with random codes directly on "
                     "device (seconds instead of minutes; identical compute/"
@@ -186,10 +188,13 @@ def main():
     args = ap.parse_args()
 
     cfg = configs.get_config(args.model)
-    if args.max_seq_len:
-        import dataclasses
+    import dataclasses
 
+    if args.max_seq_len:
         cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq_len)
+    if args.kv8:
+        cfg = dataclasses.replace(cfg, kv_quant=True)
+        print("kv cache: int8 (per-token absmax scales)")
     print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
     print(f"model: {args.model} ({cfg.num_layers} layers, hidden {cfg.hidden_size})")
 

@@ -65,6 +65,11 @@ class LlamaConfig:
     max_seq_len: int = 2048
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
+    # int8-quantize the KV cache (per-token-per-head absmax scales): halves
+    # KV memory and read traffic — the dominant decode stream at long
+    # context.  Scales fold into attention scores/probs, so the dequantized
+    # cache is never materialized.
+    kv_quant: bool = False
     # Pack row-parallel weights (wo, w_down) in this many K-chunks so they
     # can be contraction-sharded over a tensor-parallel mesh axis.
     tp_shards: int = 1
@@ -113,8 +118,12 @@ class LlamaParams:
 
 @struct.dataclass
 class KVCache:
-    k: jax.Array  # [L, B, KV, S_max, D]
+    k: jax.Array  # [L, B, KV, S_max, D] (bf16, or int8 when quantized)
     v: jax.Array  # [L, B, KV, S_max, D]
+    # Per-token-per-head absmax scales [L, B, KV, S_max] fp32 when the cache
+    # is int8-quantized (cfg.kv_quant); None for the bf16 cache.
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def batch_size(self) -> int:
@@ -250,6 +259,13 @@ def init_kv_cache(cfg: LlamaConfig, batch_size: int, dtype=None) -> KVCache:
         cfg.max_seq_len,
         cfg.head_dim,
     )
+    if cfg.kv_quant:
+        return KVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:-1], dtype=jnp.float32),
+        )
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
 
 
@@ -313,35 +329,62 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     )
 
 
-def _attention(q, k, v, mask, scale):
-    """q: [B,H,S,D]; k,v: [B,KV,T,D]; mask: [B,1,S,T] bool (True=visible)."""
+def _attention(q, k, v, mask, scale, k_scale=None, v_scale=None):
+    """q: [B,H,S,D]; k,v: [B,KV,T,D] (bf16, or int8 with per-token absmax
+    ``k_scale``/``v_scale`` [B,KV,T]); mask: [B,1,S,T] bool (True=visible).
+
+    int8 KV: the scales factor out of the contractions — scores pick up
+    ``k_scale/127`` per key token, probs pick up ``v_scale/127`` per value
+    token — so the dequantized cache never materializes.
+    """
     b, nh, s, d = q.shape
     nkv = k.shape[1]
     group = nh // nkv
+    compute_dtype = q.dtype
     q = q.reshape(b, nkv, group, s, d)
     scores = jnp.einsum(
-        "bkgsd,bktd->bkgst", q, k, preferred_element_type=jnp.float32
+        "bkgsd,bktd->bkgst",
+        q,
+        k.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
     )
     scores = scores * scale
+    if k_scale is not None:
+        scores = scores * (k_scale * (1.0 / 127.0))[:, :, None, None, :]
     scores = jnp.where(mask[:, :, None, :, :], scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bkgst,bktd->bkgsd", probs, v, preferred_element_type=jnp.float32)
-    return out.reshape(b, nh, s, d).astype(v.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * (v_scale * (1.0 / 127.0))[:, :, None, None, :]
+    out = jnp.einsum(
+        "bkgst,bktd->bkgsd",
+        probs.astype(compute_dtype),
+        v.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, nh, s, d).astype(compute_dtype)
+
+
+def _quantize_kv(t):
+    """[B,KV,S,D] -> (int8 values, fp32 per-token absmax scales [B,KV,S])."""
+    tf = t.astype(jnp.float32)
+    absmax = jnp.abs(tf).max(axis=-1)
+    s = jnp.where(absmax > 0, absmax, jnp.float32(1.0))
+    q8 = jnp.round(tf * (127.0 / s)[..., None]).astype(jnp.int8)
+    return q8, absmax
 
 
 def _layer_forward(
     cfg: LlamaConfig,
     x,
     lp: LayerParams,
-    k_cache,
-    v_cache,
+    layer_cache: KVCache,
     positions,
     mask,
     cos,
     sin,
     reduce_fn=None,
 ):
-    """One decoder layer. x: [B,S,H]; returns (x_out, k_cache, v_cache).
+    """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
     ``reduce_fn`` (e.g. a ``psum`` over the tensor-parallel axis) is applied
     to the row-parallel projections (wo, w_down) before the residual add;
@@ -367,16 +410,36 @@ def _layer_forward(
 
     # Scatter new K/V into the cache at per-sequence positions.
     def upd(cache, new):
-        # cache [B,KV,T,D], new [B,KV,S,D], positions [B,S]
+        # cache [B,KV,T,...], new [B,KV,S,...], positions [B,S]
         def per_seq(c, n, pos):
-            return c.at[:, pos, :].set(n)  # advanced index on the T axis
+            return c.at[:, pos].set(n)  # advanced index on the T axis
 
         return jax.vmap(per_seq)(cache, new, positions)
 
-    k_cache = upd(k_cache, k.astype(k_cache.dtype))
-    v_cache = upd(v_cache, v.astype(v_cache.dtype))
+    if cfg.kv_quant:
+        k8, ks = _quantize_kv(k)
+        v8, vs = _quantize_kv(v)
+        layer_cache = KVCache(
+            k=upd(layer_cache.k, k8),
+            v=upd(layer_cache.v, v8),
+            k_scale=upd(layer_cache.k_scale, ks),
+            v_scale=upd(layer_cache.v_scale, vs),
+        )
+    else:
+        layer_cache = KVCache(
+            k=upd(layer_cache.k, k.astype(layer_cache.k.dtype)),
+            v=upd(layer_cache.v, v.astype(layer_cache.v.dtype)),
+        )
 
-    attn = _attention(q, k_cache, v_cache, mask, cfg.head_dim**-0.5)
+    attn = _attention(
+        q,
+        layer_cache.k,
+        layer_cache.v,
+        mask,
+        cfg.head_dim**-0.5,
+        layer_cache.k_scale,
+        layer_cache.v_scale,
+    )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
     # cast once after the reduction (matches single-device numerics).
@@ -389,7 +452,7 @@ def _layer_forward(
     )
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
     x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
-    return x, k_cache, v_cache
+    return x, layer_cache
 
 
 # ---------------------------------------------------------------------------
@@ -426,16 +489,15 @@ def forward(
     mask = vis[:, None, :, :]  # [B,1,S,T]
 
     def body(x, layer):
-        lp, k_c, v_c = layer
-        x, k_c, v_c = _layer_forward(
-            cfg, x, lp, k_c, v_c, positions, mask, cos, sin, reduce_fn
+        lp, layer_cache = layer
+        x, layer_cache = _layer_forward(
+            cfg, x, lp, layer_cache, positions, mask, cos, sin, reduce_fn
         )
-        return x, (k_c, v_c)
+        return x, layer_cache
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params.layers, cache.k, cache.v)
-    )
-    new_cache = KVCache(k=k_new, v=v_new)
+    # The KVCache struct scans as a pytree: every leaf (k/v and, when
+    # quantized, the scale arrays) carries the leading layer axis.
+    x, new_cache = jax.lax.scan(body, x, (params.layers, cache))
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     logits = jnp.dot(

@@ -156,9 +156,10 @@ def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
     )
 
 
-def cache_spec(axis: str = "tp", data_axis=None) -> KVCache:
+def cache_spec(axis: str = "tp", data_axis=None, kv_quant: bool = False) -> KVCache:
     spec = P(None, data_axis, axis, None, None)
-    return KVCache(k=spec, v=spec)
+    sspec = P(None, data_axis, axis, None) if kv_quant else None
+    return KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
 def shard_params(
@@ -178,10 +179,11 @@ def init_sharded_kv_cache(
     cfg: LlamaConfig, batch_size: int, mesh: Mesh, axis: str = "tp", data_axis=None
 ) -> KVCache:
     cache = init_kv_cache(cfg, batch_size)
-    spec = P(None, data_axis, axis, None, None)
-    sharding = NamedSharding(mesh, spec)
-    return KVCache(
-        k=jax.device_put(cache.k, sharding), v=jax.device_put(cache.v, sharding)
+    specs = cache_spec(axis, data_axis, kv_quant=cfg.kv_quant)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        cache,
+        specs,
     )
 
 
@@ -219,12 +221,12 @@ def tp_forward(
         mesh=mesh,
         in_specs=(
             specs,
-            cache_spec(axis, da),
+            cache_spec(axis, da, kv_quant=cfg.kv_quant),
             P(da, None),
             P(da, None),
             P(da),
         ),
-        out_specs=(P(da, None, axis), cache_spec(axis, da)),
+        out_specs=(P(da, None, axis), cache_spec(axis, da, kv_quant=cfg.kv_quant)),
         check_vma=False,
     )
     def fn(params, kv, tokens, positions, seq_lens):

@@ -79,26 +79,29 @@ class Engine:
     # -- jitted pieces ------------------------------------------------------
 
     @staticmethod
-    def _prefill_impl(params, tokens, length, cache_k, cache_v, slot, *, cfg, bucket):
+    def _prefill_impl(params, tokens, length, cache, slot, *, cfg, bucket):
         """Prefill one sequence (padded to `bucket`) into slot `slot` of the
-        shared cache; returns (last_logits [V], cache_k, cache_v)."""
+        shared cache; returns (last_logits [V], cache).
+
+        The cache is handled as an opaque pytree (bf16 k/v, or int8 k/v plus
+        scale leaves when ``cfg.kv_quant``)."""
         positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
         seq_lens = jnp.full((1,), length, dtype=jnp.int32)
-        slot_cache = KVCache(
-            k=jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
-            v=jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1),
+        slot_cache = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1), cache
         )
-        logits, new_cache = forward(
+        logits, new_slot_cache = forward(
             params, cfg, tokens[None, :], slot_cache, positions, seq_lens
         )
-        cache_k = jax.lax.dynamic_update_slice_in_dim(
-            cache_k, new_cache.k, slot, axis=1
-        )
-        cache_v = jax.lax.dynamic_update_slice_in_dim(
-            cache_v, new_cache.v, slot, axis=1
+        cache = jax.tree.map(
+            lambda full, new: jax.lax.dynamic_update_slice_in_dim(
+                full, new, slot, axis=1
+            ),
+            cache,
+            new_slot_cache,
         )
         last = logits[0, length - 1, :]
-        return last, cache_k, cache_v
+        return last, cache
 
     # -- public API ---------------------------------------------------------
 
@@ -117,7 +120,6 @@ class Engine:
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
 
         cache = init_kv_cache(cfg, B)
-        cache_k, cache_v = cache.k, cache.v
 
         # Per-slot host state.
         slot_req = [-1] * B  # request index or -1 (idle)
@@ -127,7 +129,7 @@ class Engine:
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots (prefill each)."""
-            nonlocal cache_k, cache_v
+            nonlocal cache
             for s in range(B):
                 if slot_req[s] != -1 or not queue:
                     continue
@@ -139,12 +141,11 @@ class Engine:
                 bucket = min(_bucket(len(prompt)), cfg.max_seq_len)
                 padded = np.zeros(bucket, dtype=np.int32)
                 padded[: len(prompt)] = prompt
-                last_logits, cache_k, cache_v = self._prefill_b1(
+                last_logits, cache = self._prefill_b1(
                     self.params,
                     jnp.asarray(padded),
                     jnp.int32(len(prompt)),
-                    cache_k,
-                    cache_v,
+                    cache,
                     jnp.int32(s),
                     bucket=bucket,
                 )
@@ -179,13 +180,12 @@ class Engine:
 
             # One decode step for the whole batch (idle slots step harmlessly
             # at position 0 and are ignored).
-            logits, new_cache = self._decode(
+            logits, cache = self._decode(
                 self.params,
                 token=jnp.asarray(cur_token),
-                cache=KVCache(k=cache_k, v=cache_v),
+                cache=cache,
                 positions=jnp.asarray(slot_pos),
             )
-            cache_k, cache_v = new_cache.k, new_cache.v
             next_tok = np.asarray(self._sample(logits, sampling))
 
             for s in range(B):

@@ -212,3 +212,61 @@ class TestHFLoader:
         tokens = jnp.arange(6, dtype=jnp.int32)[None, :]
         logits, _ = prefill(params, loaded_cfg, tokens)
         assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
+class TestKVQuant:
+    """int8-quantized KV cache (cfg.kv_quant)."""
+
+    @pytest.fixture(scope="class")
+    def kvq(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(configs.TINY_TEST, kv_quant=True)
+        return cfg, init_params(cfg, seed=0)
+
+    def test_cache_dtypes(self, kvq):
+        cfg, params = kvq
+        cache = init_kv_cache(cfg, 2)
+        assert cache.k.dtype == jnp.int8 and cache.v.dtype == jnp.int8
+        assert cache.k_scale.dtype == jnp.float32
+        assert cache.k_scale.shape == cache.k.shape[:-1]
+
+    def test_close_to_bf16_cache(self, kvq):
+        import dataclasses
+
+        cfg_q, params = kvq
+        cfg_f = dataclasses.replace(cfg_q, kv_quant=False)
+        tokens = jnp.arange(12, dtype=jnp.int32).reshape(2, 6) % cfg_q.vocab_size
+        lq, _ = prefill(params, cfg_q, tokens)
+        lf, _ = prefill(params, cfg_f, tokens)
+        lq, lf = np.asarray(lq, np.float32), np.asarray(lf, np.float32)
+        corr = np.corrcoef(lq.ravel(), lf.ravel())[0, 1]
+        assert corr > 0.999  # int8 KV barely perturbs logits
+        assert np.isfinite(lq).all()
+
+    def test_decode_consistent_with_prefill(self, kvq):
+        cfg, params = kvq
+        rng = np.random.default_rng(5)
+        seq = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 6)), jnp.int32)
+        full, _ = prefill(params, cfg, seq)
+        cache = init_kv_cache(cfg, 1)
+        outs = []
+        for t in range(6):
+            logits, cache = decode_step(
+                params, cfg, seq[:, t], cache, jnp.full((1,), t, jnp.int32)
+            )
+            outs.append(np.asarray(logits, np.float32))
+        step = np.stack(outs, axis=1)
+        np.testing.assert_allclose(
+            step, np.asarray(full, np.float32), rtol=0.08, atol=0.08
+        )
+
+    def test_engine_generates(self, kvq):
+        from nf4_tpu.serve.engine import Engine
+        from nf4_tpu.serve.sampling import SamplingParams
+
+        cfg, params = kvq
+        eng = Engine(params, cfg, batch_size=2, sampling=SamplingParams(temperature=0.0))
+        res = eng.generate([[3, 5, 7], [11, 13]], max_new_tokens=4)
+        assert len(res) == 2
+        assert all(len(r.tokens) >= 1 for r in res)

@@ -175,3 +175,22 @@ class TestTPInt8:
             rtol=2e-2,
             atol=2e-2,
         )
+
+
+class TestTPKVQuant:
+    def test_kv_quant_tp_prefill(self, setup):
+        """TP forward with the int8 KV cache matches single-chip."""
+        mesh, _ = setup
+        cfg = dataclasses.replace(TP_CFG, kv_quant=True)
+        params = init_params(cfg, seed=0)
+        sharded, _ = shard_params(localize_params(params, TP), mesh)
+        tokens = jnp.arange(8, dtype=jnp.int32).reshape(2, 4) % cfg.vocab_size
+        ref, _ = prefill(params, cfg, tokens)
+        tp_logits, tp_cache = tp_prefill(sharded, cfg, mesh, tokens)
+        assert tp_cache.k.dtype == jnp.int8
+        np.testing.assert_allclose(
+            np.asarray(tp_logits, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=3e-2,
+            atol=3e-2,
+        )
