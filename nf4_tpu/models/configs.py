@@ -4,7 +4,14 @@ from __future__ import annotations
 
 from .llama import LlamaConfig
 
-__all__ = ["TINY_TEST", "TINYLLAMA_1_1B", "LLAMA3_8B", "LLAMA3_70B", "get_config"]
+__all__ = [
+    "TINY_TEST",
+    "TINYLLAMA_1_1B",
+    "MISTRAL_7B",
+    "LLAMA3_8B",
+    "LLAMA3_70B",
+    "get_config",
+]
 
 # A miniature config for unit tests and CPU-mesh sharding tests.
 TINY_TEST = LlamaConfig(
@@ -29,6 +36,20 @@ TINYLLAMA_1_1B = LlamaConfig(
     head_dim=64,
     rope_theta=10000.0,
     max_seq_len=2048,
+)
+
+# Mistral-7B v0.1: Llama architecture + sliding-window attention.
+MISTRAL_7B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=10000.0,
+    max_seq_len=8192,
+    sliding_window=4096,
 )
 
 # Llama-3-8B (BASELINE.json configs 3-4).
@@ -60,6 +81,7 @@ LLAMA3_70B = LlamaConfig(
 _REGISTRY = {
     "tiny-test": TINY_TEST,
     "tinyllama-1.1b": TINYLLAMA_1_1B,
+    "mistral-7b": MISTRAL_7B,
     "llama3-8b": LLAMA3_8B,
     "llama3-70b": LLAMA3_70B,
 }

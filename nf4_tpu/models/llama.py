@@ -63,6 +63,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 2048
+    # Sliding-window attention (Mistral-style): each query attends only to
+    # the last `sliding_window` positions.  None = full causal attention.
+    sliding_window: Optional[int] = None
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
     # int8-quantize the KV cache (per-token-per-head absmax scales): halves
@@ -486,6 +489,10 @@ def forward(
     # t <= p and t < seq_len.  (Slots beyond seq_len hold zeros/garbage.)
     t_ids = jnp.arange(t_max)[None, None, :]  # [1,1,T]
     vis = (t_ids <= positions[:, :, None]) & (t_ids < seq_lens[:, None, None])
+    if cfg.sliding_window is not None:
+        # Mistral-style: only the last `sliding_window` positions are
+        # visible (t > p - window).
+        vis = vis & (t_ids > positions[:, :, None] - cfg.sliding_window)
     mask = vis[:, None, :, :]  # [B,1,S,T]
 
     def body(x, layer):

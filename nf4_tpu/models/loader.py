@@ -43,6 +43,9 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         max_seq_len=min(int(hf.get("max_position_embeddings", 2048)), 8192),
+        sliding_window=(
+            int(hf["sliding_window"]) if hf.get("sliding_window") else None
+        ),
     )
     kwargs.update(overrides)
     return LlamaConfig(**kwargs)

@@ -270,3 +270,53 @@ class TestKVQuant:
         res = eng.generate([[3, 5, 7], [11, 13]], max_new_tokens=4)
         assert len(res) == 2
         assert all(len(r.tokens) >= 1 for r in res)
+
+
+class TestSlidingWindow:
+    """Mistral-style sliding-window attention (cfg.sliding_window)."""
+
+    @pytest.fixture(scope="class")
+    def swa(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(configs.TINY_TEST, sliding_window=4)
+        return cfg, init_params(cfg, seed=0)
+
+    def test_outside_window_has_no_effect(self, swa):
+        cfg, params = swa
+        rng = np.random.default_rng(7)
+        seq = np.asarray(rng.integers(0, cfg.vocab_size, size=(1, 10)), np.int32)
+        seq2 = seq.copy()
+        seq2[0, 0] = (seq2[0, 0] + 1) % cfg.vocab_size  # token 0
+        la, _ = prefill(params, cfg, jnp.asarray(seq))
+        lb, _ = prefill(params, cfg, jnp.asarray(seq2))
+        # Query at position 9 sees only positions 6..9 (window 4) — token 0
+        # is invisible to it, so its logits must be identical.
+        np.testing.assert_array_equal(
+            np.asarray(la)[:, 9, :], np.asarray(lb)[:, 9, :]
+        )
+        # ...but position 2 DOES see token 0.
+        assert not np.array_equal(np.asarray(la)[:, 2, :], np.asarray(lb)[:, 2, :])
+
+    def test_decode_consistent_with_prefill(self, swa):
+        cfg, params = swa
+        rng = np.random.default_rng(8)
+        seq = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, 8)), jnp.int32)
+        full, _ = prefill(params, cfg, seq)
+        cache = init_kv_cache(cfg, 1)
+        outs = []
+        for t in range(8):
+            logits, cache = decode_step(
+                params, cfg, seq[:, t], cache, jnp.full((1,), t, jnp.int32)
+            )
+            outs.append(np.asarray(logits, np.float32))
+        np.testing.assert_allclose(
+            np.stack(outs, axis=1),
+            np.asarray(full, np.float32),
+            rtol=_tol(),
+            atol=_tol(),
+        )
+
+    def test_mistral_config_registered(self):
+        cfg = configs.get_config("mistral-7b")
+        assert cfg.sliding_window == 4096
