@@ -8,6 +8,7 @@ __all__ = [
     "TINY_TEST",
     "TINYLLAMA_1_1B",
     "MISTRAL_7B",
+    "QWEN2_7B",
     "LLAMA3_8B",
     "LLAMA3_70B",
     "get_config",
@@ -52,6 +53,21 @@ MISTRAL_7B = LlamaConfig(
     sliding_window=4096,
 )
 
+# Qwen2-7B: Llama architecture + q/k/v projection biases.
+QWEN2_7B = LlamaConfig(
+    vocab_size=152064,
+    hidden_size=3584,
+    intermediate_size=18944,
+    num_layers=28,
+    num_heads=28,
+    num_kv_heads=4,
+    head_dim=128,
+    rope_theta=1_000_000.0,
+    rms_norm_eps=1e-6,
+    max_seq_len=8192,
+    attn_bias=True,
+)
+
 # Llama-3-8B (BASELINE.json configs 3-4).
 LLAMA3_8B = LlamaConfig(
     vocab_size=128256,
@@ -82,6 +98,7 @@ _REGISTRY = {
     "tiny-test": TINY_TEST,
     "tinyllama-1.1b": TINYLLAMA_1_1B,
     "mistral-7b": MISTRAL_7B,
+    "qwen2-7b": QWEN2_7B,
     "llama3-8b": LLAMA3_8B,
     "llama3-70b": LLAMA3_70B,
 }

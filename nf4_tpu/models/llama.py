@@ -66,6 +66,8 @@ class LlamaConfig:
     # Sliding-window attention (Mistral-style): each query attends only to
     # the last `sliding_window` positions.  None = full causal attention.
     sliding_window: Optional[int] = None
+    # Bias on the q/k/v projections (Qwen2-style).
+    attn_bias: bool = False
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
     # int8-quantize the KV cache (per-token-per-head absmax scales): halves
@@ -109,6 +111,9 @@ class LayerParams:
     w_down: Weight
     input_norm: jax.Array  # [hidden]
     post_attn_norm: jax.Array  # [hidden]
+    # Fused q/k/v bias [q_dim + 2*kv_dim] (Qwen2-style, cfg.attn_bias);
+    # interleaved per shard exactly like wqkv's rows.  None when absent.
+    qkv_bias: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -196,6 +201,19 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
     g = cfg.tp_shards
     layers = []
     for _ in range(cfg.num_layers):
+        qkv_bias = None
+        if cfg.attn_bias:
+            qkv_bias = jnp.asarray(
+                fuse_rows(
+                    [
+                        rng.standard_normal(cfg.q_dim) * 0.02,
+                        rng.standard_normal(cfg.kv_dim) * 0.02,
+                        rng.standard_normal(cfg.kv_dim) * 0.02,
+                    ],
+                    g,
+                ),
+                dtype=jnp.float32,
+            )
         layers.append(
             LayerParams(
                 wqkv=_linear(
@@ -210,6 +228,7 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
                 w_down=_linear(dense(h, inter), cfg, shards=g),
                 input_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_attn_norm=jnp.ones((h,), dtype=jnp.float32),
+                qkv_bias=qkv_bias,
             )
         )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
@@ -234,6 +253,11 @@ def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_nor
     g = cfg.tp_shards
     built = []
     for lw in dense_layers:
+        qkv_bias = None
+        if cfg.attn_bias:
+            qkv_bias = jnp.asarray(
+                fuse_rows([lw["bq"], lw["bk"], lw["bv"]], g), dtype=jnp.float32
+            )
         built.append(
             LayerParams(
                 wqkv=_linear(fuse_rows([lw["wq"], lw["wk"], lw["wv"]], g), cfg),
@@ -242,6 +266,7 @@ def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_nor
                 w_down=_linear(lw["w_down"], cfg, shards=g),
                 input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
                 post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
+                qkv_bias=qkv_bias,
             )
         )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
@@ -398,6 +423,8 @@ def _layer_forward(
 
     attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
     qkv = _matmul(attn_in, lp.wqkv)  # ONE kernel for q+k+v
+    if lp.qkv_bias is not None:
+        qkv = qkv + lp.qkv_bias.astype(qkv.dtype)
     q, k, v = split_fused(
         qkv, (cfg.q_dim, cfg.kv_dim, cfg.kv_dim), groups=cfg.tp_shards
     )

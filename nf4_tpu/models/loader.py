@@ -42,6 +42,8 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         head_dim=head_dim,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        attn_bias=bool(hf.get("attention_bias", False))
+        or hf.get("model_type") == "qwen2",
         max_seq_len=min(int(hf.get("max_position_embeddings", 2048)), 8192),
         sliding_window=(
             int(hf["sliding_window"]) if hf.get("sliding_window") else None
@@ -77,7 +79,12 @@ _HF_TO_OURS = {
     "mlp.down_proj.weight": "w_down",
     "input_layernorm.weight": "input_norm",
     "post_attention_layernorm.weight": "post_attn_norm",
+    # Qwen2-style attention biases (optional; required iff cfg.attn_bias).
+    "self_attn.q_proj.bias": "bq",
+    "self_attn.k_proj.bias": "bk",
+    "self_attn.v_proj.bias": "bv",
 }
+_BIAS_KEYS = {"bq", "bk", "bv"}
 
 
 def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[LlamaParams, LlamaConfig]:
@@ -117,8 +124,11 @@ def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[Llama
         lm_head = embed  # tied embeddings
 
     dense_layers = [layer_weights[i] for i in range(cfg.num_layers)]
+    required = set(_HF_TO_OURS.values())
+    if not cfg.attn_bias:
+        required -= _BIAS_KEYS
     for i, lw in enumerate(dense_layers):
-        missing = set(_HF_TO_OURS.values()) - set(lw)
+        missing = required - set(lw)
         if missing:
             raise ValueError(f"layer {i} missing tensors: {sorted(missing)}")
 
@@ -159,6 +169,8 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
             arrays[f"layers.{name}"] = np.asarray(w)
     for name in _NORM_FIELDS:
         arrays[f"layers.{name}"] = np.asarray(getattr(params.layers, name))
+    if params.layers.qkv_bias is not None:
+        arrays["layers.qkv_bias"] = np.asarray(params.layers.qkv_bias)
 
     # np.savez has no bfloat16 support: store such arrays as uint16 bit
     # patterns and record the true dtype.
@@ -207,6 +219,9 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
                 fields[name] = get(f"layers.{name}")
         for name in _NORM_FIELDS:
             fields[name] = get(f"layers.{name}")
+        fields["qkv_bias"] = (
+            get("layers.qkv_bias") if "layers.qkv_bias" in data else None
+        )
         return LlamaParams(
             embed=get("embed"),
             layers=LayerParams(**fields),

@@ -148,6 +148,8 @@ def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
         fields[k] = _weight_spec(getattr(lp, k), "row", axis)
     for k in _REPLICATED:
         fields[k] = P(None, None)
+    if lp.qkv_bias is not None:
+        fields["qkv_bias"] = P(None, axis)  # column-parallel like wqkv rows
     return LlamaParams(
         embed=P(None, None),
         layers=lp.replace(**fields),

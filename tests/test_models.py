@@ -320,3 +320,48 @@ class TestSlidingWindow:
     def test_mistral_config_registered(self):
         cfg = configs.get_config("mistral-7b")
         assert cfg.sliding_window == 4096
+
+
+class TestAttnBias:
+    """Qwen2-style q/k/v projection biases (cfg.attn_bias)."""
+
+    def test_bias_changes_logits(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(configs.TINY_TEST, attn_bias=True)
+        params = init_params(cfg, seed=0)
+        assert params.layers.qkv_bias is not None
+        assert params.layers.qkv_bias.shape == (
+            cfg.num_layers,
+            cfg.q_dim + 2 * cfg.kv_dim,
+        )
+        tokens = jnp.arange(6, dtype=jnp.int32)[None, :] % cfg.vocab_size
+        l_b, _ = prefill(params, cfg, tokens)
+        # Zeroing the bias must change the logits (the bias is live).
+        params0 = params.replace(
+            layers=params.layers.replace(
+                qkv_bias=jnp.zeros_like(params.layers.qkv_bias)
+            )
+        )
+        l_0, _ = prefill(params0, cfg, tokens)
+        assert not np.array_equal(np.asarray(l_b), np.asarray(l_0))
+        assert np.isfinite(np.asarray(l_b, np.float32)).all()
+
+    def test_bias_save_load_roundtrip(self, tmp_path):
+        import dataclasses
+
+        from nf4_tpu.models.loader import load_packed, save_packed
+
+        cfg = dataclasses.replace(configs.TINY_TEST, attn_bias=True)
+        params = init_params(cfg, seed=1)
+        path = str(tmp_path / "m.npz")
+        save_packed(path, params, cfg)
+        reloaded = load_packed(path, cfg)
+        tokens = jnp.arange(5, dtype=jnp.int32)[None, :]
+        la, _ = prefill(params, cfg, tokens)
+        lb, _ = prefill(reloaded, cfg, tokens)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    def test_qwen2_config_registered(self):
+        cfg = configs.get_config("qwen2-7b")
+        assert cfg.attn_bias and cfg.num_kv_heads == 4
