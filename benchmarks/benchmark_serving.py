@@ -43,8 +43,6 @@ from nf4_tpu.utils.timing import Stats
 def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3):
     """Chained decode: token_{t+1} = argmax(logits_t); the real autoregressive
     dependency structure, so no artificial chaining is needed."""
-    import functools
-
     cache0 = init_kv_cache(cfg, batch)
 
     @jax.jit
