@@ -68,6 +68,11 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     # Bias on the q/k/v projections (Qwen2-style).
     attn_bias: bool = False
+    # NF4-quantize the lm_head too (bnb/HF keep it dense; for big-vocab
+    # models the dense bf16 head dominates the decode weight stream —
+    # ~1 GB/token for Llama-3's 128k vocab — so this is a real speed/memory
+    # lever at a small quality cost; opt-in).
+    quantize_lm_head: bool = False
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
     # int8-quantize the KV cache (per-token-per-head absmax scales): halves
@@ -121,7 +126,9 @@ class LlamaParams:
     embed: jax.Array  # [vocab, hidden] dense (bnb never quantizes embeddings)
     layers: LayerParams  # stacked: every leaf has leading [num_layers]
     final_norm: jax.Array  # [hidden]
-    lm_head: jax.Array  # [vocab, hidden] dense (HF 4-bit keeps lm_head dense)
+    # [vocab, hidden]: dense by default (HF 4-bit keeps lm_head dense);
+    # PackedNF4 when cfg.quantize_lm_head.
+    lm_head: Weight
 
 
 @struct.dataclass
@@ -238,10 +245,17 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
         ),
         layers=stacked,
         final_norm=jnp.ones((h,), dtype=jnp.float32),
-        lm_head=jnp.asarray(
-            rng.standard_normal((cfg.vocab_size, h)) * (h**-0.5), dtype=cfg.dtype
+        lm_head=_lm_head(
+            (rng.standard_normal((cfg.vocab_size, h)) * (h**-0.5)).astype(np.float32),
+            cfg,
         ),
     )
+
+
+def _lm_head(w, cfg: LlamaConfig) -> Weight:
+    if cfg.quantize_lm_head:
+        return quantize_for_tpu(np.asarray(w, np.float32), dtype=cfg.dtype)
+    return jnp.asarray(w, dtype=cfg.dtype)
 
 
 def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_norm, lm_head) -> LlamaParams:
@@ -274,7 +288,7 @@ def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_nor
         embed=jnp.asarray(embed, dtype=cfg.dtype),
         layers=stacked,
         final_norm=jnp.asarray(final_norm, dtype=jnp.float32),
-        lm_head=jnp.asarray(lm_head, dtype=cfg.dtype),
+        lm_head=_lm_head(lm_head, cfg),
     )
 
 
@@ -534,9 +548,14 @@ def forward(
     x, new_cache = jax.lax.scan(body, x, (params.layers, cache))
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
-    logits = jnp.dot(
-        x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    if isinstance(params.lm_head, (PackedNF4,)) or not isinstance(
+        params.lm_head, jax.Array
+    ):
+        logits = _matmul(x, params.lm_head, out_dtype=jnp.float32)
+    else:
+        logits = jnp.dot(
+            x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
     return logits, new_cache
 
 

@@ -153,12 +153,19 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     """
     from ..nf4.format import PackedNF4
 
+    from ..nf4.format import PackedNF4 as _P
+
     arrays: Dict[str, np.ndarray] = {
         "embed": np.asarray(params.embed),
         "final_norm": np.asarray(params.final_norm),
-        "lm_head": np.asarray(params.lm_head),
     }
     shapes: Dict[str, Tuple[int, int]] = {}
+    if isinstance(params.lm_head, _P):
+        arrays["lm_head.packed"] = np.asarray(params.lm_head.packed)
+        arrays["lm_head.scales"] = np.asarray(params.lm_head.scales)
+        shapes["lm_head"] = list(params.lm_head.shape)
+    else:
+        arrays["lm_head"] = np.asarray(params.lm_head)
     for name in _LINEAR_FIELDS:
         w = getattr(params.layers, name)
         if isinstance(w, PackedNF4):
@@ -222,9 +229,21 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
         fields["qkv_bias"] = (
             get("layers.qkv_bias") if "layers.qkv_bias" in data else None
         )
+        if "lm_head.packed" in data:
+            packed = get("lm_head.packed")
+            m, n = meta["shapes"]["lm_head"]
+            lm_head = PackedNF4(
+                packed=packed,
+                scales=get("lm_head.scales"),
+                shape=(m, n),
+                padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
+                dtype=jnp.dtype(cfg.dtype),
+            )
+        else:
+            lm_head = get("lm_head")
         return LlamaParams(
             embed=get("embed"),
             layers=LayerParams(**fields),
             final_norm=get("final_norm"),
-            lm_head=get("lm_head"),
+            lm_head=lm_head,
         )

@@ -119,7 +119,9 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
         **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},
         **{k: _localize_weight(getattr(lp, k), tp, "row") for k in _ROW_PARALLEL},
     )
-    return params.replace(layers=new_layers)
+    # lm_head is vocab(=out)-sharded; quantized heads need local metadata.
+    lm_head = _localize_weight(params.lm_head, tp, "col")
+    return params.replace(layers=new_layers, lm_head=lm_head)
 
 
 def _weight_spec(w, kind: str, axis: str):
@@ -150,11 +152,20 @@ def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
         fields[k] = P(None, None)
     if lp.qkv_bias is not None:
         fields["qkv_bias"] = P(None, axis)  # column-parallel like wqkv rows
+    from ..ops.int8_serve import PackedInt8
+
+    if isinstance(params.lm_head, PackedNF4):
+        # Non-stacked packed weight: vocab is the lane dim.
+        lm_spec = params.lm_head.replace(packed=P(None, axis), scales=P(None, axis))
+    elif isinstance(params.lm_head, PackedInt8):
+        lm_spec = params.lm_head.replace(values=P(None, axis), scales=P(None, axis))
+    else:
+        lm_spec = P(axis, None)  # dense, vocab-sharded
     return LlamaParams(
         embed=P(None, None),
         layers=lp.replace(**fields),
         final_norm=P(None),
-        lm_head=P(axis, None),  # vocab-sharded
+        lm_head=lm_spec,
     )
 
 

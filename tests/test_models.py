@@ -365,3 +365,40 @@ class TestAttnBias:
     def test_qwen2_config_registered(self):
         cfg = configs.get_config("qwen2-7b")
         assert cfg.attn_bias and cfg.num_kv_heads == 4
+
+
+class TestQuantizedLMHead:
+    """Optional NF4 lm_head (cfg.quantize_lm_head)."""
+
+    def test_forward_close_to_dense_head(self):
+        import dataclasses
+
+        from nf4_tpu.nf4.format import PackedNF4
+
+        cfg_q = dataclasses.replace(configs.TINY_TEST, quantize_lm_head=True)
+        params_q = init_params(cfg_q, seed=0)
+        assert isinstance(params_q.lm_head, PackedNF4)
+        params_d = init_params(configs.TINY_TEST, seed=0)
+        tokens = jnp.arange(6, dtype=jnp.int32)[None, :]
+        lq, _ = prefill(params_q, cfg_q, tokens)
+        ld, _ = prefill(params_d, configs.TINY_TEST, tokens)
+        lq = np.asarray(lq, np.float32)
+        ld = np.asarray(ld, np.float32)
+        corr = np.corrcoef(lq.ravel(), ld.ravel())[0, 1]
+        assert corr > 0.99
+        assert np.isfinite(lq).all()
+
+    def test_save_load_roundtrip(self, tmp_path):
+        import dataclasses
+
+        from nf4_tpu.models.loader import load_packed, save_packed
+
+        cfg = dataclasses.replace(configs.TINY_TEST, quantize_lm_head=True)
+        params = init_params(cfg, seed=2)
+        path = str(tmp_path / "m.npz")
+        save_packed(path, params, cfg)
+        reloaded = load_packed(path, cfg)
+        tokens = jnp.arange(5, dtype=jnp.int32)[None, :]
+        la, _ = prefill(params, cfg, tokens)
+        lb, _ = prefill(reloaded, cfg, tokens)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
