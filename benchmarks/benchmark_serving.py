@@ -141,15 +141,20 @@ def synthetic_params(cfg):
     layers = [layer() for _ in range(cfg.num_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     key, k3, k4 = jax.random.split(key, 3)
+    lm_head = (
+        pw(cfg.vocab_size, h)
+        if cfg.quantize_lm_head
+        else (
+            jax.random.normal(k4, (cfg.vocab_size, h), jnp.float32) * h**-0.5
+        ).astype(cfg.dtype)
+    )
     return LlamaParams(
         embed=(jax.random.normal(k3, (cfg.vocab_size, h), jnp.float32) * 0.02).astype(
             cfg.dtype
         ),
         layers=stacked,
         final_norm=jnp.ones((h,), jnp.float32),
-        lm_head=(
-            jax.random.normal(k4, (cfg.vocab_size, h), jnp.float32) * h**-0.5
-        ).astype(cfg.dtype),
+        lm_head=lm_head,
     )
 
 
@@ -178,6 +183,8 @@ def main():
                     "bytes, ~2.5x decode; values stay on the NF4 grid)")
     ap.add_argument("--kv8", action="store_true",
                     help="int8-quantize the KV cache (cfg.kv_quant)")
+    ap.add_argument("--q-lm-head", action="store_true",
+                    help="NF4-quantize the lm_head (cfg.quantize_lm_head)")
     ap.add_argument("--synthetic", action="store_true",
                     help="build packed weights with random codes directly on "
                     "device (seconds instead of minutes; identical compute/"
@@ -193,6 +200,9 @@ def main():
     if args.kv8:
         cfg = dataclasses.replace(cfg, kv_quant=True)
         print("kv cache: int8 (per-token absmax scales)")
+    if args.q_lm_head:
+        cfg = dataclasses.replace(cfg, quantize_lm_head=True)
+        print("lm_head: NF4-quantized")
     print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
     print(f"model: {args.model} ({cfg.num_layers} layers, hidden {cfg.hidden_size})")
 

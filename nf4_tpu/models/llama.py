@@ -68,10 +68,11 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     # Bias on the q/k/v projections (Qwen2-style).
     attn_bias: bool = False
-    # NF4-quantize the lm_head too (bnb/HF keep it dense; for big-vocab
-    # models the dense bf16 head dominates the decode weight stream —
-    # ~1 GB/token for Llama-3's 128k vocab — so this is a real speed/memory
-    # lever at a small quality cost; opt-in).
+    # NF4-quantize the lm_head too (bnb/HF keep it dense).  A MEMORY
+    # lever, not a speed one: it saves ~0.8 GB of HBM for a 128k vocab but
+    # the dense bf16 head already streams at full matmul speed, so decode
+    # throughput is unchanged (measured on v5e).  Opt-in; costs a little
+    # quality where logits are most sensitive.
     quantize_lm_head: bool = False
     dtype: Any = jnp.bfloat16
     quantize: bool = True  # NF4-quantize the linear projections
