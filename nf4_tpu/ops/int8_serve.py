@@ -90,14 +90,26 @@ def recode_int8_weight(pw: PackedNF4) -> PackedInt8:
     c's byte row j sits at global row c*half + j and expands to K rows
     c*chunk + 2j / 2j+1 — exactly the global K order).
     """
-    if pw.packed.ndim >= 3:
+    packed, sc = pw.packed, pw.scales
+    if packed.ndim >= 3:
         # Stacked layers: convert one layer at a time — the int32 code
         # intermediates of a whole stacked 8B tensor would blow HBM.
         values, scales = jax.lax.map(
-            lambda ps: _recode_kernelless(ps[0], ps[1]), (pw.packed, pw.scales)
+            lambda ps: _recode_kernelless(ps[0], ps[1]), (packed, sc)
         )
+    elif packed.size > 32 * 2**20:
+        # Large single weight (e.g. a 128k-vocab lm_head): chunk the byte
+        # rows so the int32 code intermediates stay bounded.  Chunks must
+        # hold whole scale rows (32 byte rows = 64 K rows = 1 scale row).
+        kh = packed.shape[0]
+        chunks = next(c for c in (16, 8, 4, 2, 1) if (kh // c) % 32 == 0 and kh % c == 0)
+        p3 = packed.reshape(chunks, kh // chunks, -1)
+        s3 = sc.reshape(chunks, sc.shape[0] // chunks, -1)
+        v3, sc3 = jax.lax.map(lambda ps: _recode_kernelless(ps[0], ps[1]), (p3, s3))
+        values = v3.reshape(2 * kh, -1)
+        scales = sc3.reshape(sc.shape)
     else:
-        values, scales = _recode_kernelless(pw.packed, pw.scales)
+        values, scales = _recode_kernelless(packed, sc)
     return PackedInt8(
         values=values,
         scales=scales,
