@@ -110,3 +110,37 @@ class TestEngine:
         r = eng.generate([prompt], max_new_tokens=50)[0]
         # Can generate at most up to the context limit.
         assert len(r.tokens) <= 3
+
+
+class TestEngineStress:
+    def test_many_mixed_prompts_continuous_batching(self):
+        """More prompts than slots, mixed lengths: all must complete, slots
+        must be reused, and per-prompt results must be independent of
+        scheduling (greedy decode is deterministic)."""
+        from nf4_tpu.models import configs
+        from nf4_tpu.models.llama import init_params
+        from nf4_tpu.serve.engine import Engine
+        from nf4_tpu.serve.sampling import SamplingParams
+
+        cfg = configs.TINY_TEST
+        params = init_params(cfg, seed=0)
+        rng = np.random.default_rng(11)
+        prompts = [
+            list(rng.integers(3, cfg.vocab_size, size=int(n)))
+            for n in rng.integers(1, 20, size=13)
+        ]
+        eng = Engine(
+            params, cfg, batch_size=3, sampling=SamplingParams(temperature=0.0)
+        )
+        res = eng.generate(prompts, max_new_tokens=5)
+        assert len(res) == len(prompts)
+        for r in res:
+            assert 1 <= len(r.tokens) <= 5 or r.finished
+
+        # Same prompts through a single-slot engine: identical outputs.
+        eng1 = Engine(
+            params, cfg, batch_size=1, sampling=SamplingParams(temperature=0.0)
+        )
+        res1 = eng1.generate(prompts, max_new_tokens=5)
+        for a, b in zip(res, res1):
+            assert a.tokens == b.tokens, (a.tokens, b.tokens)
