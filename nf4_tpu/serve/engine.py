@@ -126,6 +126,9 @@ class Engine:
         slot_pos = np.zeros(B, dtype=np.int32)  # next position to write
         slot_generated: List[List[int]] = [[] for _ in range(B)]
         cur_token = np.zeros(B, dtype=np.int32)
+        # Emitted-token mask per slot, for the repetition penalty (opt-in).
+        use_rep = sampling.repetition_penalty != 1.0
+        gen_mask = np.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots (prefill each)."""
@@ -154,6 +157,9 @@ class Engine:
                 slot_pos[s] = len(prompt)
                 slot_generated[s] = [int(tok)]
                 cur_token[s] = int(tok)
+                if gen_mask is not None:
+                    gen_mask[s] = False
+                    gen_mask[s, int(tok)] = True
 
         refill(None)
 
@@ -186,7 +192,7 @@ class Engine:
                 cache=cache,
                 positions=jnp.asarray(slot_pos),
             )
-            next_tok = np.asarray(self._sample(logits, sampling))
+            next_tok = np.asarray(self._sample(logits, sampling, gen_mask))
 
             for s in range(B):
                 if slot_req[s] == -1:
@@ -194,12 +200,20 @@ class Engine:
                 slot_pos[s] += 1
                 slot_generated[s].append(int(next_tok[s]))
                 cur_token[s] = int(next_tok[s])
+                if gen_mask is not None:
+                    gen_mask[s, int(next_tok[s])] = True
 
         return [r for r in results if r is not None]
 
-    def _sample(self, logits: jax.Array, sampling: Optional[SamplingParams] = None):
+    def _sample(
+        self,
+        logits: jax.Array,
+        sampling: Optional[SamplingParams] = None,
+        gen_mask=None,
+    ):
         sampling = sampling or self.sampling
+        mask = jnp.asarray(gen_mask) if gen_mask is not None else None
         if sampling.temperature == 0.0:
-            return sample(logits, sampling)
+            return sample(logits, sampling, generated_mask=mask)
         self._key, sub = jax.random.split(self._key)
-        return sample(logits, sampling, sub)
+        return sample(logits, sampling, sub, generated_mask=mask)
