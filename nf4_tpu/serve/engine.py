@@ -71,7 +71,7 @@ class Engine:
         self._decode = jax.jit(
             functools.partial(decode_step, cfg=cfg), static_argnames=()
         )
-        self._prefill_b1 = jax.jit(
+        self._prefill_g = jax.jit(
             functools.partial(self._prefill_impl, cfg=cfg),
             static_argnames=("bucket",),
         )
@@ -79,28 +79,26 @@ class Engine:
     # -- jitted pieces ------------------------------------------------------
 
     @staticmethod
-    def _prefill_impl(params, tokens, length, cache, slot, *, cfg, bucket):
-        """Prefill one sequence (padded to `bucket`) into slot `slot` of the
-        shared cache; returns (last_logits [V], cache).
+    def _prefill_impl(params, tokens, lengths, cache, slots, *, cfg, bucket):
+        """Prefill a GROUP of sequences (each padded to `bucket`) into cache
+        slots ``slots``; returns (last_logits [G, V], cache).
 
-        The cache is handled as an opaque pytree (bf16 k/v, or int8 k/v plus
-        scale leaves when ``cfg.kv_quant``)."""
-        positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
-        seq_lens = jnp.full((1,), length, dtype=jnp.int32)
-        slot_cache = jax.tree.map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1), cache
+        tokens [G, bucket], lengths [G], slots [G] int32.  The cache is an
+        opaque pytree (bf16 k/v, or int8 k/v plus scale leaves when
+        ``cfg.kv_quant``); slot rows are gathered/scattered on the batch
+        axis so one jitted call serves any same-bucket group."""
+        g = tokens.shape[0]
+        positions = jnp.broadcast_to(
+            jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
         )
+        slot_cache = jax.tree.map(lambda a: a[:, slots], cache)
         logits, new_slot_cache = forward(
-            params, cfg, tokens[None, :], slot_cache, positions, seq_lens
+            params, cfg, tokens, slot_cache, positions, lengths
         )
         cache = jax.tree.map(
-            lambda full, new: jax.lax.dynamic_update_slice_in_dim(
-                full, new, slot, axis=1
-            ),
-            cache,
-            new_slot_cache,
+            lambda full, new: full.at[:, slots].set(new), cache, new_slot_cache
         )
-        last = logits[0, length - 1, :]
+        last = logits[jnp.arange(g), lengths - 1, :]
         return last, cache
 
     # -- public API ---------------------------------------------------------
@@ -131,8 +129,13 @@ class Engine:
         gen_mask = np.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
 
         def refill(slots_tokens):
-            """Assign queued requests to idle slots (prefill each)."""
+            """Assign queued requests to idle slots, prefilling same-bucket
+            groups as real batches (group sizes in {4, 2, 1} so the jit
+            compiles a bounded set of (bucket, group) shapes)."""
             nonlocal cache
+            from collections import defaultdict
+
+            pending = []  # (slot, request, prompt, bucket)
             for s in range(B):
                 if slot_req[s] != -1 or not queue:
                     continue
@@ -141,25 +144,43 @@ class Engine:
                 if len(prompt) == 0 or len(prompt) >= cfg.max_seq_len:
                     results[r] = GenerationResult(prompt, [], True)
                     continue
-                bucket = min(_bucket(len(prompt)), cfg.max_seq_len)
-                padded = np.zeros(bucket, dtype=np.int32)
-                padded[: len(prompt)] = prompt
-                last_logits, cache = self._prefill_b1(
-                    self.params,
-                    jnp.asarray(padded),
-                    jnp.int32(len(prompt)),
-                    cache,
-                    jnp.int32(s),
-                    bucket=bucket,
+                slot_req[s] = r  # reserve the slot
+                pending.append(
+                    (s, r, prompt, min(_bucket(len(prompt)), cfg.max_seq_len))
                 )
-                tok = self._sample(last_logits[None, :])[0]
-                slot_req[s] = r
-                slot_pos[s] = len(prompt)
-                slot_generated[s] = [int(tok)]
-                cur_token[s] = int(tok)
-                if gen_mask is not None:
-                    gen_mask[s] = False
-                    gen_mask[s, int(tok)] = True
+
+            groups = defaultdict(list)
+            for item in pending:
+                groups[item[3]].append(item)
+            for bucket, items in groups.items():
+                i = 0
+                while i < len(items):
+                    g = next(gg for gg in (4, 2, 1) if len(items) - i >= gg)
+                    chunk = items[i : i + g]
+                    i += g
+                    toks = np.zeros((g, bucket), dtype=np.int32)
+                    lens = np.zeros((g,), dtype=np.int32)
+                    slots = np.zeros((g,), dtype=np.int32)
+                    for j, (s, _r, prompt, _b) in enumerate(chunk):
+                        toks[j, : len(prompt)] = prompt
+                        lens[j] = len(prompt)
+                        slots[j] = s
+                    last_logits, cache = self._prefill_g(
+                        self.params,
+                        jnp.asarray(toks),
+                        jnp.asarray(lens),
+                        cache,
+                        jnp.asarray(slots),
+                        bucket=bucket,
+                    )
+                    first = np.asarray(self._sample(last_logits))
+                    for j, (s, _r, prompt, _b) in enumerate(chunk):
+                        slot_pos[s] = len(prompt)
+                        slot_generated[s] = [int(first[j])]
+                        cur_token[s] = int(first[j])
+                        if gen_mask is not None:
+                            gen_mask[s] = False
+                            gen_mask[s, int(first[j])] = True
 
         refill(None)
 
