@@ -40,6 +40,16 @@ class GenerationResult:
     prompt: List[int]
     tokens: List[int]  # generated tokens (without the prompt)
     finished: bool  # True if EOS reached (False if max_new_tokens hit)
+    # log P(token | prefix) for each generated token, when the engine was
+    # asked for them (generate(..., return_logprobs=True)); else None.
+    logprobs: Optional[List[float]] = None
+
+
+@jax.jit
+def _token_logprobs(logits: jax.Array, tokens) -> jax.Array:
+    """log P(tokens) under log_softmax(logits); logits [B, V], tokens [B]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return lp[jnp.arange(lp.shape[0]), jnp.asarray(tokens)]
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -108,8 +118,12 @@ class Engine:
         prompts: Sequence[Sequence[int]],
         max_new_tokens: int = 64,
         sampling: Optional[SamplingParams] = None,
+        return_logprobs: bool = False,
     ) -> List[GenerationResult]:
-        """Generate completions for all prompts with continuous batching."""
+        """Generate completions for all prompts with continuous batching.
+
+        ``return_logprobs=True`` also records log P(token | prefix) for each
+        generated token."""
         sampling = sampling or self.sampling
         cfg = self.cfg
         B = self.batch_size
@@ -123,6 +137,7 @@ class Engine:
         slot_req = [-1] * B  # request index or -1 (idle)
         slot_pos = np.zeros(B, dtype=np.int32)  # next position to write
         slot_generated: List[List[int]] = [[] for _ in range(B)]
+        slot_logprobs: List[List[float]] = [[] for _ in range(B)]
         cur_token = np.zeros(B, dtype=np.int32)
         # Emitted-token mask per slot, for the repetition penalty (opt-in).
         use_rep = sampling.repetition_penalty != 1.0
@@ -174,9 +189,14 @@ class Engine:
                         bucket=bucket,
                     )
                     first = np.asarray(self._sample(last_logits))
+                    if return_logprobs:
+                        lps = np.asarray(_token_logprobs(last_logits, first))
                     for j, (s, _r, prompt, _b) in enumerate(chunk):
                         slot_pos[s] = len(prompt)
                         slot_generated[s] = [int(first[j])]
+                        slot_logprobs[s] = (
+                            [float(lps[j])] if return_logprobs else []
+                        )
                         cur_token[s] = int(first[j])
                         if gen_mask is not None:
                             gen_mask[s] = False
@@ -196,11 +216,13 @@ class Engine:
                 done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
                 if done_eos or done_len or done_ctx:
                     out = gen[:-1] if done_eos else gen
+                    lp = slot_logprobs[s][: len(out)] if return_logprobs else None
                     results[r] = GenerationResult(
-                        list(prompts[r]), out, bool(done_eos)
+                        list(prompts[r]), out, bool(done_eos), lp
                     )
                     slot_req[s] = -1
                     slot_generated[s] = []
+                    slot_logprobs[s] = []
             refill(None)
             if not any(r != -1 for r in slot_req):
                 break
@@ -214,12 +236,16 @@ class Engine:
                 positions=jnp.asarray(slot_pos),
             )
             next_tok = np.asarray(self._sample(logits, sampling, gen_mask))
+            if return_logprobs:
+                step_lps = np.asarray(_token_logprobs(logits, next_tok))
 
             for s in range(B):
                 if slot_req[s] == -1:
                     continue
                 slot_pos[s] += 1
                 slot_generated[s].append(int(next_tok[s]))
+                if return_logprobs:
+                    slot_logprobs[s].append(float(step_lps[s]))
                 cur_token[s] = int(next_tok[s])
                 if gen_mask is not None:
                     gen_mask[s, int(next_tok[s])] = True

@@ -192,3 +192,24 @@ class TestSamplingExtras:
             # unless everything else is heavily penalized too; just require
             # valid completions.
             assert all(0 <= t < cfg.vocab_size for t in r.tokens)
+
+
+class TestLogprobs:
+    def test_generate_with_logprobs(self):
+        from nf4_tpu.models import configs
+        from nf4_tpu.models.llama import init_params
+        from nf4_tpu.serve.engine import Engine
+        from nf4_tpu.serve.sampling import SamplingParams
+
+        cfg = configs.TINY_TEST
+        params = init_params(cfg, seed=0)
+        eng = Engine(params, cfg, batch_size=2, sampling=SamplingParams(temperature=0.0))
+        res = eng.generate([[3, 5, 7], [11, 13, 17, 19]], max_new_tokens=4,
+                           return_logprobs=True)
+        for r in res:
+            assert r.logprobs is not None
+            assert len(r.logprobs) == len(r.tokens)
+            assert all(lp <= 0.0 for lp in r.logprobs)
+        # Without the flag: logprobs stay None.
+        res2 = eng.generate([[3, 5, 7]], max_new_tokens=2)
+        assert res2[0].logprobs is None
