@@ -119,14 +119,19 @@ class Engine:
         max_new_tokens: int = 64,
         sampling: Optional[SamplingParams] = None,
         return_logprobs: bool = False,
+        stop_tokens: Optional[Sequence[int]] = None,
+        on_token=None,
     ) -> List[GenerationResult]:
         """Generate completions for all prompts with continuous batching.
 
         ``return_logprobs=True`` also records log P(token | prefix) for each
-        generated token."""
+        generated token.  ``stop_tokens`` adds extra end-of-sequence ids on
+        top of the engine's ``eos_token``.  ``on_token(request_idx, token)``,
+        when given, is called as each token is emitted (streaming)."""
         sampling = sampling or self.sampling
         cfg = self.cfg
         B = self.batch_size
+        stops = {self.eos_token} | set(stop_tokens or ())
 
         queue = list(range(len(prompts)))
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
@@ -194,6 +199,8 @@ class Engine:
                     for j, (s, _r, prompt, _b) in enumerate(chunk):
                         slot_pos[s] = len(prompt)
                         slot_generated[s] = [int(first[j])]
+                        if on_token is not None and int(first[j]) not in stops:
+                            on_token(_r, int(first[j]))
                         slot_logprobs[s] = (
                             [float(lps[j])] if return_logprobs else []
                         )
@@ -211,7 +218,7 @@ class Engine:
                 if r == -1:
                     continue
                 gen = slot_generated[s]
-                done_eos = gen and gen[-1] == self.eos_token
+                done_eos = bool(gen) and gen[-1] in stops
                 done_len = len(gen) >= max_new_tokens
                 done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
                 if done_eos or done_len or done_ctx:
@@ -246,6 +253,8 @@ class Engine:
                 slot_generated[s].append(int(next_tok[s]))
                 if return_logprobs:
                     slot_logprobs[s].append(float(step_lps[s]))
+                if on_token is not None and int(next_tok[s]) not in stops:
+                    on_token(slot_req[s], int(next_tok[s]))
                 cur_token[s] = int(next_tok[s])
                 if gen_mask is not None:
                     gen_mask[s, int(next_tok[s])] = True

@@ -213,3 +213,31 @@ class TestLogprobs:
         # Without the flag: logprobs stay None.
         res2 = eng.generate([[3, 5, 7]], max_new_tokens=2)
         assert res2[0].logprobs is None
+
+
+class TestStopAndStreaming:
+    def test_stop_tokens_and_on_token(self):
+        from nf4_tpu.models import configs
+        from nf4_tpu.models.llama import init_params
+        from nf4_tpu.serve.engine import Engine
+        from nf4_tpu.serve.sampling import SamplingParams
+
+        cfg = configs.TINY_TEST
+        params = init_params(cfg, seed=0)
+        eng = Engine(params, cfg, batch_size=2, sampling=SamplingParams(temperature=0.0))
+
+        # Baseline greedy output, then rerun with its second token as a stop.
+        base = eng.generate([[3, 5, 7]], max_new_tokens=6)[0]
+        assert len(base.tokens) >= 2
+        stop = base.tokens[1]
+        stopped = eng.generate([[3, 5, 7]], max_new_tokens=6, stop_tokens=[stop])[0]
+        assert stopped.finished
+        assert stopped.tokens == base.tokens[:1]
+
+        streamed = []
+        res = eng.generate(
+            [[3, 5, 7]],
+            max_new_tokens=4,
+            on_token=lambda r, t: streamed.append((r, t)),
+        )[0]
+        assert [t for _r, t in streamed] == res.tokens
