@@ -8,6 +8,7 @@ __all__ = [
     "TINY_TEST",
     "TINYLLAMA_1_1B",
     "MISTRAL_7B",
+    "GEMMA_7B",
     "QWEN2_7B",
     "LLAMA3_8B",
     "LLAMA3_70B",
@@ -51,6 +52,23 @@ MISTRAL_7B = LlamaConfig(
     rope_theta=10000.0,
     max_seq_len=8192,
     sliding_window=4096,
+)
+
+# Gemma-7B: GeGLU activation, (1+w) RMSNorm, sqrt(hidden) embedding scale.
+GEMMA_7B = LlamaConfig(
+    vocab_size=256000,
+    hidden_size=3072,
+    intermediate_size=24576,
+    num_layers=28,
+    num_heads=16,
+    num_kv_heads=16,
+    head_dim=256,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-6,
+    max_seq_len=8192,
+    activation="gelu_tanh",
+    rmsnorm_one_plus=True,
+    scale_embeddings=True,
 )
 
 # Qwen2-7B: Llama architecture + q/k/v projection biases.
@@ -98,6 +116,7 @@ _REGISTRY = {
     "tiny-test": TINY_TEST,
     "tinyllama-1.1b": TINYLLAMA_1_1B,
     "mistral-7b": MISTRAL_7B,
+    "gemma-7b": GEMMA_7B,
     "qwen2-7b": QWEN2_7B,
     "llama3-8b": LLAMA3_8B,
     "llama3-70b": LLAMA3_70B,

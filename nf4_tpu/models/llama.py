@@ -22,6 +22,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import jax
@@ -68,6 +69,13 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     # Bias on the q/k/v projections (Qwen2-style).
     attn_bias: bool = False
+    # MLP activation on the gate branch: "silu" (Llama) or "gelu_tanh"
+    # (Gemma's GeGLU).
+    activation: str = "silu"
+    # RMSNorm applies (1 + weight) instead of weight (Gemma convention).
+    rmsnorm_one_plus: bool = False
+    # Scale token embeddings by sqrt(hidden_size) (Gemma convention).
+    scale_embeddings: bool = False
     # NF4-quantize the lm_head too (bnb/HF keep it dense).  A MEMORY
     # lever, not a speed one: it saves ~0.8 GB of HBM for a 128k vocab but
     # the dense bf16 head already streams at full matmul speed, so decode
@@ -342,11 +350,14 @@ def recode_params_int8(params: "LlamaParams") -> "LlamaParams":
     )
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float, one_plus: bool = False
+) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
-    return (normed * weight).astype(x.dtype)
+    w = 1.0 + weight if one_plus else weight
+    return (normed * w).astype(x.dtype)
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -436,7 +447,7 @@ def _layer_forward(
     reduce_fn = reduce_fn or (lambda t: t)
     b, s, h = x.shape
 
-    attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
+    attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     qkv = _matmul(attn_in, lp.wqkv)  # ONE kernel for q+k+v
     if lp.qkv_bias is not None:
         qkv = qkv + lp.qkv_bias.astype(qkv.dtype)
@@ -490,12 +501,18 @@ def _layer_forward(
     # cast once after the reduction (matches single-device numerics).
     x = x + reduce_fn(_matmul(attn, lp.wo, out_dtype=jnp.float32)).astype(x.dtype)
 
-    mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps)
+    mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
     gate, up = split_fused(
         gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
     )
-    h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    if cfg.activation == "silu":
+        act = jax.nn.silu
+    elif cfg.activation == "gelu_tanh":
+        act = functools.partial(jax.nn.gelu, approximate=True)
+    else:
+        raise ValueError(f"unknown activation {cfg.activation!r}; silu|gelu_tanh")
+    h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
     x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
     return x, layer_cache
 
@@ -525,6 +542,8 @@ def forward(
     t_max = cache.max_seq_len
 
     x = params.embed[tokens]  # [B,S,H]
+    if cfg.scale_embeddings:  # Gemma: embeddings scaled by sqrt(hidden)
+        x = (x.astype(jnp.float32) * (cfg.hidden_size**0.5)).astype(x.dtype)
     cos, sin = rope_tables(cfg, positions)
 
     # Visibility: cache slot t is visible to query at absolute position p iff
@@ -548,7 +567,7 @@ def forward(
     # quantized, the scale arrays) carries the leading layer axis.
     x, new_cache = jax.lax.scan(body, x, (params.layers, cache))
 
-    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     if isinstance(params.lm_head, (PackedNF4,)) or not isinstance(
         params.lm_head, jax.Array
     ):
