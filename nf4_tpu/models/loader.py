@@ -49,6 +49,14 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
             int(hf["sliding_window"]) if hf.get("sliding_window") else None
         ),
     )
+    # Gemma conventions: GeGLU, (1+w) RMSNorm, sqrt(hidden) embed scale.
+    act = hf.get("hidden_act") or hf.get("hidden_activation") or ""
+    if hf.get("model_type") == "gemma" or "gelu" in act:
+        kwargs.update(
+            activation="gelu_tanh",
+            rmsnorm_one_plus=hf.get("model_type") == "gemma",
+            scale_embeddings=hf.get("model_type") == "gemma",
+        )
     kwargs.update(overrides)
     return LlamaConfig(**kwargs)
 
