@@ -73,3 +73,34 @@ class TestPerplexity:
         seqs = [list(rng.integers(0, cfg.vocab_size, size=32)) for _ in range(4)]
         ppl = perplexity(params, cfg, seqs)
         assert 0.2 * cfg.vocab_size < ppl < 5 * cfg.vocab_size
+
+
+class TestEvalCLI:
+    def test_cli_end_to_end(self, tiny_model, tmp_path, capsys):
+        import json
+
+        from nf4_tpu.eval.__main__ import main as eval_main
+        from nf4_tpu.models.loader import save_packed
+
+        params, cfg = tiny_model
+        ckpt = str(tmp_path / "m.npz")
+        save_packed(ckpt, params, cfg)
+        rng = np.random.default_rng(4)
+        toks = rng.integers(0, cfg.vocab_size, size=(2, 16)).astype(np.int32)
+        tok_path = str(tmp_path / "t.npy")
+        np.save(tok_path, toks)
+
+        rc = eval_main(
+            ["--model", "tiny-test", "--checkpoint", ckpt, "--tokens", tok_path]
+        )
+        report = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and report["perplexity"] > 0
+
+        # Gate failure -> nonzero exit.
+        rc2 = eval_main(
+            [
+                "--model", "tiny-test", "--checkpoint", ckpt,
+                "--tokens", tok_path, "--baseline-ppl", "1.0",
+            ]
+        )
+        assert rc2 == 1
