@@ -49,7 +49,8 @@ def main(argv=None) -> int:
     sequences = [list(map(int, row)) for row in toks]
 
     report = perplexity_report(
-        params, cfg, sequences, baseline_ppl=args.baseline_ppl, gate=args.gate
+        params, cfg, sequences, baseline_ppl=args.baseline_ppl, gate=args.gate,
+        batch_size=args.batch_size,
     )
     print(json.dumps(report))
     if "within_gate" in report and not report["within_gate"]:

@@ -26,19 +26,16 @@ __all__ = ["sequence_nll", "perplexity", "perplexity_report"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _batch_nll(params, tokens, seq_lens, cache_k, cache_v, cfg: LlamaConfig):
+def _batch_nll(params, tokens, seq_lens, cache, cfg: LlamaConfig):
     """Summed next-token NLL and token count for a padded batch.
 
     tokens: [B, T] int32; positions t predicts t+1; positions >= seq_len-1
-    are masked out.  Returns (sum_nll fp32, n_tokens int32).
+    are masked out.  Returns (sum_nll fp32, n_tokens int32).  ``cache`` is
+    the full KVCache pytree (including scale leaves when ``cfg.kv_quant``).
     """
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    from ..models.llama import KVCache
-
-    logits, _ = forward(
-        params, cfg, tokens, KVCache(k=cache_k, v=cache_v), positions, seq_lens
-    )
+    logits, _ = forward(params, cfg, tokens, cache, positions, seq_lens)
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits[:, :-1, :], axis=-1)  # predicts t+1
     targets = tokens[:, 1:]
@@ -73,7 +70,7 @@ def sequence_nll(
             lens[j] = len(s)
         cache = init_kv_cache(cfg, B)
         nll, ntok = _batch_nll(
-            params, jnp.asarray(toks), jnp.asarray(lens), cache.k, cache.v, cfg
+            params, jnp.asarray(toks), jnp.asarray(lens), cache, cfg
         )
         total_nll += float(nll)
         total_tok += int(ntok)
@@ -94,10 +91,11 @@ def perplexity(
 def perplexity_report(
     params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
     baseline_ppl: float | None = None, gate: float = 0.1,
+    batch_size: int = 8,
 ) -> dict:
     """Perplexity plus the BASELINE.md <= 0.1-delta gate when a baseline
     (e.g. bitsandbytes NF4 on GPU, or the fp16 model) is supplied."""
-    ppl = perplexity(params, cfg, sequences)
+    ppl = perplexity(params, cfg, sequences, batch_size=batch_size)
     report = {"perplexity": ppl}
     if baseline_ppl is not None:
         report["baseline_perplexity"] = baseline_ppl

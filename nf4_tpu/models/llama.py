@@ -69,8 +69,8 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     # Bias on the q/k/v projections (Qwen2-style).
     attn_bias: bool = False
-    # MLP activation on the gate branch: "silu" (Llama) or "gelu_tanh"
-    # (Gemma's GeGLU).
+    # MLP activation on the gate branch: "silu" (Llama), "gelu_tanh"
+    # (Gemma's GeGLU / HF gelu_pytorch_tanh), or exact "gelu".
     activation: str = "silu"
     # RMSNorm applies (1 + weight) instead of weight (Gemma convention).
     rmsnorm_one_plus: bool = False
@@ -510,8 +510,12 @@ def _layer_forward(
         act = jax.nn.silu
     elif cfg.activation == "gelu_tanh":
         act = functools.partial(jax.nn.gelu, approximate=True)
+    elif cfg.activation == "gelu":
+        act = functools.partial(jax.nn.gelu, approximate=False)
     else:
-        raise ValueError(f"unknown activation {cfg.activation!r}; silu|gelu_tanh")
+        raise ValueError(
+            f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
+        )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
     x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
     return x, layer_cache

@@ -50,12 +50,27 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         ),
     )
     # Gemma conventions: GeGLU, (1+w) RMSNorm, sqrt(hidden) embed scale.
+    # Map tanh-approximate GELU names to gelu_tanh and exact gelu names to
+    # gelu (exact); anything else gelu-like is an error rather than a silent
+    # approximation swap.
     act = hf.get("hidden_act") or hf.get("hidden_activation") or ""
-    if hf.get("model_type") == "gemma" or "gelu" in act:
+    is_gemma = hf.get("model_type") == "gemma"
+    if is_gemma or "gelu" in act:
+        # HF naming: gelu_pytorch_tanh / gelu_tanh / gelu_new / gelu_fast are
+        # all tanh-family approximations; bare "gelu" / "gelu_python" are the
+        # exact erf form.
+        if is_gemma or act in (
+            "gelu_pytorch_tanh", "gelu_tanh", "gelu_new", "gelu_fast"
+        ):
+            activation = "gelu_tanh"
+        elif act in ("gelu", "gelu_python"):
+            activation = "gelu"
+        else:
+            raise ValueError(f"unsupported hidden_act {act!r}")
         kwargs.update(
-            activation="gelu_tanh",
-            rmsnorm_one_plus=hf.get("model_type") == "gemma",
-            scale_embeddings=hf.get("model_type") == "gemma",
+            activation=activation,
+            rmsnorm_one_plus=is_gemma,
+            scale_embeddings=is_gemma,
         )
     kwargs.update(overrides)
     return LlamaConfig(**kwargs)
@@ -161,17 +176,17 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     """
     from ..nf4.format import PackedNF4
 
-    from ..nf4.format import PackedNF4 as _P
-
     arrays: Dict[str, np.ndarray] = {
         "embed": np.asarray(params.embed),
         "final_norm": np.asarray(params.final_norm),
     }
     shapes: Dict[str, Tuple[int, int]] = {}
-    if isinstance(params.lm_head, _P):
+    shards: Dict[str, int] = {}
+    if isinstance(params.lm_head, PackedNF4):
         arrays["lm_head.packed"] = np.asarray(params.lm_head.packed)
         arrays["lm_head.scales"] = np.asarray(params.lm_head.scales)
         shapes["lm_head"] = list(params.lm_head.shape)
+        shards["lm_head"] = params.lm_head.shards
     else:
         arrays["lm_head"] = np.asarray(params.lm_head)
     for name in _LINEAR_FIELDS:
@@ -180,6 +195,7 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
             arrays[f"layers.{name}.packed"] = np.asarray(w.packed)
             arrays[f"layers.{name}.scales"] = np.asarray(w.scales)
             shapes[name] = list(w.shape)
+            shards[name] = w.shards
         else:
             arrays[f"layers.{name}"] = np.asarray(w)
     for name in _NORM_FIELDS:
@@ -195,7 +211,12 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
             arrays[key] = arr.view(np.uint16)
             dtypes[key] = "bfloat16"
 
-    meta = {"shapes": shapes, "dtypes": dtypes, "dtype": str(np.dtype(cfg.dtype).name)}
+    meta = {
+        "shapes": shapes,
+        "shards": shards,
+        "dtypes": dtypes,
+        "dtype": str(np.dtype(cfg.dtype).name),
+    }
     np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
@@ -217,19 +238,27 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
                 arr = arr.view(ml_dtypes.bfloat16)
             return jnp.asarray(arr)
 
+        # Older checkpoints predate the "shards" meta field; they were only
+        # ever written with shards=1.
+        meta_shards = meta.get("shards", {})
+
+        def packed_weight(key_base, meta_name):
+            packed = get(f"{key_base}.packed")
+            scales = get(f"{key_base}.scales")
+            m, n = meta["shapes"][meta_name]
+            return PackedNF4(
+                packed=packed,
+                scales=scales,
+                shape=(m, n),
+                padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
+                dtype=jnp.dtype(cfg.dtype),
+                shards=int(meta_shards.get(meta_name, 1)),
+            )
+
         fields = {}
         for name in _LINEAR_FIELDS:
             if f"layers.{name}.packed" in data:
-                packed = get(f"layers.{name}.packed")
-                scales = get(f"layers.{name}.scales")
-                m, n = meta["shapes"][name]
-                fields[name] = PackedNF4(
-                    packed=packed,
-                    scales=scales,
-                    shape=(m, n),
-                    padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
-                    dtype=jnp.dtype(cfg.dtype),
-                )
+                fields[name] = packed_weight(f"layers.{name}", name)
             else:
                 fields[name] = get(f"layers.{name}")
         for name in _NORM_FIELDS:
@@ -238,15 +267,7 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
             get("layers.qkv_bias") if "layers.qkv_bias" in data else None
         )
         if "lm_head.packed" in data:
-            packed = get("lm_head.packed")
-            m, n = meta["shapes"]["lm_head"]
-            lm_head = PackedNF4(
-                packed=packed,
-                scales=get("lm_head.scales"),
-                shape=(m, n),
-                padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
-                dtype=jnp.dtype(cfg.dtype),
-            )
+            lm_head = packed_weight("lm_head", "lm_head")
         else:
             lm_head = get("lm_head")
         return LlamaParams(

@@ -193,7 +193,7 @@ class Engine:
                         jnp.asarray(slots),
                         bucket=bucket,
                     )
-                    first = np.asarray(self._sample(last_logits))
+                    first = np.asarray(self._sample(last_logits, sampling))
                     if return_logprobs:
                         lps = np.asarray(_token_logprobs(last_logits, first))
                     for j, (s, _r, prompt, _b) in enumerate(chunk):

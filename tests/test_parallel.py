@@ -177,6 +177,34 @@ class TestTPInt8:
         )
 
 
+class TestTPCheckpointRoundTrip:
+    def test_save_load_localize_forward(self, setup, tmp_path):
+        """A tp_shards>1 checkpoint must round-trip through save_packed /
+        load_packed and still shard + forward (VERDICT r1: load_packed used
+        to drop the ``shards`` field, breaking localize_params)."""
+        from nf4_tpu.models.loader import load_packed, save_packed
+
+        mesh, params = setup
+        path = str(tmp_path / "tp_ckpt.npz")
+        save_packed(path, params, TP_CFG)
+        reloaded = load_packed(path, TP_CFG)
+
+        # shards metadata must survive the round trip on row-parallel weights.
+        assert reloaded.layers.wo.shards == TP
+        assert reloaded.layers.w_down.shards == TP
+
+        tokens = jnp.arange(8, dtype=jnp.int32).reshape(2, 4) % TP_CFG.vocab_size
+        ref, _ = prefill(params, TP_CFG, tokens)
+        sharded, _ = shard_params(localize_params(reloaded, TP), mesh)
+        tp_logits, _ = tp_prefill(sharded, TP_CFG, mesh, tokens)
+        np.testing.assert_allclose(
+            np.asarray(tp_logits, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=2e-2,
+            atol=2e-2,
+        )
+
+
 class TestTPKVQuant:
     def test_kv_quant_tp_prefill(self, setup):
         """TP forward with the int8 KV cache matches single-chip."""
