@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nf4_tpu import dequantize, pack_for_tpu
+from nf4_tpu import dequantize, dequantize_fast, pack_for_tpu
 from nf4_tpu.nf4.reference import dequantize_nf4, quantize_nf4
 from nf4_tpu.utils.timing import measure_chained_s
 
@@ -58,12 +58,29 @@ def verify_correctness(pw, state):
     return bool(np.array_equal(got, want)), float(diff.max()), float(diff.mean())
 
 
-def benchmark_backend(pw, backend: str, iters: int):
+def verify_fast(pw, state):
+    """Fast-path diff stats vs the oracle: the bf16 byte-table path
+    double-rounds (values and scales each round to bf16 before the
+    multiply), so the gate is a ~1.1e-2 relative tolerance rather than bit
+    equality — still ~10x tighter than the reference's own rtol=0.1 check
+    (reference ``benchmark.py:13-16``)."""
+    import ml_dtypes
+
+    got = np.asarray(dequantize_fast(pw)).astype(np.float32)
+    want = np.asarray(dequantize_nf4(state, dtype=ml_dtypes.bfloat16)).astype(
+        np.float32
+    )
+    rel = np.abs(got - want) / (np.abs(want) + 1e-12)
+    rel[want == 0] = np.abs(got[want == 0])
+    return bool(rel.max() <= 1.1e-2), float(rel.max())
+
+
+def benchmark_backend(pw, backend: str, iters: int, fast: bool = False):
     os.environ["NF4TPU_BACKEND"] = backend
 
     @jax.jit
     def step(carry):
-        out = dequantize(pw)
+        out = dequantize_fast(pw) if fast else dequantize(pw)
         return carry + out[0, 0].astype(jnp.float32) * jnp.float32(1e-30)
 
     n2 = max(10, min(60, iters))
@@ -115,35 +132,50 @@ def main():
         all_exact &= ok
         print(f"  correctness vs oracle: exact={ok} max_diff={max_diff:.3e} mean={mean_diff:.3e}")
 
+        use_fast = dtype == jnp.bfloat16
+        if use_fast:
+            fast_ok, fast_rel = verify_fast(pw, state)
+            all_exact &= fast_ok
+            print(f"  fast path vs oracle: ok={fast_ok} max_rel={fast_rel:.3e}")
+
         base = benchmark_backend(pw, "jnp", args.iterations)
         opt = benchmark_backend(pw, opt_backend, args.iterations)
+        fast = (
+            benchmark_backend(pw, opt_backend, args.iterations, fast=True)
+            if use_fast
+            else opt
+        )
         os.environ["NF4TPU_BACKEND"] = default_backend
-        print(f"  XLA ref:   {base}")
-        print(f"  optimized: {opt}")
-        speedup = base.median / max(opt.median, 1e-12)
+        print(f"  XLA ref:        {base}")
+        print(f"  exact kernel:   {opt}")
+        if use_fast:
+            print(f"  fast byte-table: {fast}")
+        # The headline arm (gate + GB/s) is the fast path where available —
+        # the product configuration for bf16 serving.
+        speedup = base.median / max(fast.median, 1e-12)
         total_base += base.median
-        total_opt += opt.median
+        total_opt += fast.median
         out_bytes = size * size * 2
         in_bytes = size * size // 2 + (size // 64) * size * 4
-        gbps = (out_bytes + in_bytes) / opt.median / 1e9
+        gbps = (out_bytes + in_bytes) / fast.median / 1e9
         rows.append(
             [
                 f"{size}x{size}",
                 f"{base.median * 1e3:.4f}",
                 f"{opt.median * 1e3:.4f}",
-                f"{opt.std * 1e3:.4f}",
-                f"{opt.min * 1e3:.4f}",
-                f"{opt.max * 1e3:.4f}",
+                f"{fast.median * 1e3:.4f}",
+                f"{fast.min * 1e3:.4f}",
                 f"{speedup:.3f}x",
                 f"{gbps:.0f}",
-                "exact" if ok else f"max {max_diff:.1e}",
+                ("exact" if ok else f"max {max_diff:.1e}")
+                + ("" if not use_fast else f"/fast {fast_rel:.1e}"),
             ]
         )
 
     print("\n===== Summary =====")
     print(
         format_table(
-            ["size", "ref ms", "pallas ms", "std", "min", "max", "speedup", "GB/s", "parity"],
+            ["size", "ref ms", "exact ms", "fast ms", "fast min", "speedup", "GB/s", "parity"],
             rows,
         )
     )

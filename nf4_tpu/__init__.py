@@ -21,7 +21,9 @@ TPU-native API:
   oracle (CPU, NumPy).
 * :class:`PackedNF4`, :func:`quantize_for_tpu`, :func:`pack_for_tpu` — the
   TPU weight format.
-* :func:`dequantize` / :func:`dequantize_t` — Pallas dequant kernels.
+* :func:`dequantize` / :func:`dequantize_t` — Pallas dequant kernels
+  (bit-exact); :func:`dequantize_fast` / :func:`dequantize_t_fast` — the
+  bf16 byte-table fast path (~2x the bandwidth, double-rounds through bf16).
 * :func:`nf4_matmul` — fused dequant-matmul (packed weights never leave HBM
   in dequantized form).
 """
@@ -29,7 +31,7 @@ TPU-native API:
 from .nf4.format import PackedNF4, pack_for_tpu, quantize_for_tpu, to_quant_state
 from .nf4.lut import NF4_CODE, dynamic_code, nf4_code
 from .nf4.reference import QuantState, dequantize_nf4, quantize_nf4
-from .ops.dequant import dequantize, dequantize_t
+from .ops.dequant import dequantize, dequantize_fast, dequantize_t, dequantize_t_fast
 from .ops.matmul import nf4_matmul
 
 __version__ = "0.2.0"
@@ -47,6 +49,8 @@ __all__ = [
     "to_quant_state",
     "dequantize",
     "dequantize_t",
+    "dequantize_fast",
+    "dequantize_t_fast",
     "nf4_matmul",
     "dequantize_nf4_module",
     "reset_dequantize_state",

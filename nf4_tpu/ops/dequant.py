@@ -37,7 +37,7 @@ from ..nf4.reference import NF4_BLOCK
 from ..utils import env
 from .lut_eval import nf4_lookup, nf4_lookup_gather, nf4_table_row
 
-__all__ = ["dequantize", "dequantize_t"]
+__all__ = ["dequantize", "dequantize_t", "dequantize_t_fast", "dequantize_fast"]
 
 # Each byte row covers two K rows, so a 64-value scale block spans 32 byte
 # rows of either nibble plane.
@@ -111,6 +111,105 @@ def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
         interpret=interpret,
     )(packed, scales, jnp.asarray(nf4_table_row()))
     return out.astype(dtype) if kernel_dtype != dtype else out
+
+
+def _make_bytetable_dequant_kernel(nchunks: int):
+    """bf16 fast dequant: one 256-entry byte->packed-bf16-pair word table
+    (two 128-lane gathers + select), ``pltpu.bitcast`` expanding word row j
+    into K rows 2j/2j+1 — the same decode as the fused matmul's fast path
+    (`ops.matmul._make_bytetable_kernel`) minus the contraction."""
+
+    def kernel(p_ref, s_ref, tlo_ref, thi_ref, o_ref):
+        b = p_ref[:].astype(jnp.int32)  # (bks, bo)
+        rows = b.shape[0]
+        idx = b & 127
+        sel_hi = b >= 128
+        s_all = s_ref[:].astype(jnp.bfloat16)  # (2*bks/64, bo)
+        nb = 2 * rows // NF4_BLOCK
+        for c in range(nchunks):
+            sl = slice(c * 128, (c + 1) * 128)
+            g_lo = jnp.take_along_axis(tlo_ref[:], idx[:, sl], axis=1)
+            g_hi = jnp.take_along_axis(thi_ref[:], idx[:, sl], axis=1)
+            word = jnp.where(sel_hi[:, sl], g_hi, g_lo)
+            wv = pltpu.bitcast(word, jnp.bfloat16)  # (2*bks, 128)
+            o_ref[:, sl] = (
+                wv.reshape(nb, NF4_BLOCK, 128) * s_all[:, sl][:, None, :]
+            ).reshape(2 * rows, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "interpret"))
+def _dequant_t_pallas_fast(packed, scales, tiles, interpret):
+    from .matmul import _byte_word_tables
+
+    bks, bo = tiles
+    khalf, m_pad = packed.shape
+    grid = (khalf // bks, m_pad // bo)
+    tlo, thi = _byte_word_tables()
+    tlo = jnp.broadcast_to(jnp.asarray(tlo), (bks, 128))
+    thi = jnp.broadcast_to(jnp.asarray(thi), (bks, 128))
+
+    return pl.pallas_call(
+        _make_bytetable_dequant_kernel(bo // 128),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bks, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (2 * bks // NF4_BLOCK, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bks, 128), lambda j, o: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bks, 128), lambda j, o: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * bks, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), jnp.bfloat16),
+        interpret=interpret,
+    )(packed, scales, tlo, thi)
+
+
+def dequantize_t_fast(pw: PackedNF4) -> jax.Array:
+    """Fast bf16 dequantize to ``W^T`` via the byte-table decode.
+
+    NOT bit-exact vs the oracle: the NF4 code values and scales each round to
+    bf16 before the multiply (double rounding, rel err <= ~2^-8 — an order of
+    magnitude below NF4's own quantization cell).  Use :func:`dequantize_t`
+    for the bit-exact contract; this path exists for bandwidth (the byte
+    table decodes a whole byte per lane instead of evaluating two fp32
+    select trees).  Output dtype is always bf16.
+    """
+    if pw.shards > 1:
+        from ..nf4.format import chunk_views
+
+        return jnp.concatenate(
+            [dequantize_t_fast(v) for v in chunk_views(pw)], axis=0
+        )
+    if env.backend() != "pallas" or env.use_interpret():
+        # The bitcast row-pair expansion is a Mosaic hardware semantic;
+        # interpret/jnp modes route through the exact path (cast to bf16).
+        out = _dequant_t_jnp(pw.packed, pw.scales, jnp.bfloat16)
+    else:
+        khalf, m_pad = pw.packed.shape
+        # Swept on v5e (8192^2, interleaved best-of-rounds): (2048, 512) is
+        # the most consistent winner at ~800+ GB/s output-effective; smaller
+        # tiles only for shapes the big ones don't divide.
+        bks = _pick_tile(khalf, (2048, 1024, 512))
+        bo = _pick_tile(m_pad, (512, 256, 128))
+        out = _dequant_t_pallas_fast(
+            pw.packed, pw.scales, (bks, bo), env.use_interpret()
+        )
+    m, n = pw.shape
+    m_pad, n_pad = pw.padded_shape
+    if (m, n) != (m_pad, n_pad):
+        out = out[:n, :m]
+    return out
+
+
+def dequantize_fast(pw: PackedNF4) -> jax.Array:
+    """Fast bf16 dequantize to the logical [m, n] weight (see
+    :func:`dequantize_t_fast` for the accuracy contract)."""
+    return dequantize_t_fast(pw).T
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))

@@ -71,6 +71,47 @@ class TestDequantBitExact:
         np.testing.assert_array_equal(a, b)
 
 
+class TestFastDequant:
+    """The bf16 byte-table fast path: near-exact (double rounding through
+    bf16), bit-validated against the fused matmul's identical decode on real
+    hardware (run_diagnostics / NF4TPU_TEST_TPU=1)."""
+
+    @pytest.mark.parametrize("shape", [(128, 256), (100, 320), (256, 1024)])
+    def test_close_to_oracle(self, rng, shape):
+        import ml_dtypes
+
+        from nf4_tpu.ops.dequant import dequantize_fast, dequantize_t_fast
+
+        w = rng.standard_normal(shape).astype(np.float32) * 0.05
+        state = quantize_nf4(w)
+        expected = dequantize_nf4(state, dtype=ml_dtypes.bfloat16).astype(
+            np.float32
+        )
+        pw = pack_for_tpu(state, dtype=jnp.bfloat16)
+        got = np.asarray(dequantize_fast(pw), dtype=np.float32)
+        assert got.shape == shape
+        # Double rounding through bf16 costs at most ~2^-8 relative.
+        np.testing.assert_allclose(got, expected, rtol=1e-2, atol=1e-6)
+        got_t = np.asarray(dequantize_t_fast(pw), dtype=np.float32)
+        np.testing.assert_array_equal(got_t.T, got)
+
+    def test_sharded_weight(self, rng):
+        from nf4_tpu.ops.dequant import dequantize_t_fast
+
+        w = rng.standard_normal((128, 2048)).astype(np.float32)
+        pw = quantize_for_tpu(w, dtype=jnp.bfloat16, shards=2)
+        got = np.asarray(dequantize_t_fast(pw), dtype=np.float32)
+        assert got.shape == (2048, 128)
+        np.testing.assert_allclose(
+            got.T,
+            np.asarray(
+                nf4_tpu.dequantize(quantize_for_tpu(w, dtype=jnp.bfloat16))
+            ).astype(np.float32),
+            rtol=1e-2,
+            atol=1e-6,
+        )
+
+
 class TestModuleAPI:
     def test_dequantize_nf4_module_duck_typed(self, rng):
         """The reference entry-point contract (kernel_optimized.py:113-139)
