@@ -206,6 +206,25 @@ def _matmul_pallas_exact(x_pad, packed, scales, out_dtype, tiles, interpret):
     return out.astype(out_dtype) if kernel_out != out_dtype else out
 
 
+def _pick_bm(b_pad: int) -> int:
+    """Batch-tile size balancing redundant decode against padding waste.
+
+    The kernel re-decodes every weight tile once per batch tile, so large
+    batches want tall bm (prefill: bm=512 measured 2.9x faster than bm=128
+    at B=2048 on v5e); but a tall tile over-pads small batches with zero
+    rows of MXU work.  One full-weight decode costs about as much VPU time
+    as ~384 rows of MXU work at the shapes that matter, so minimize
+    ``nb * 384 + nb * bm`` (both in row-equivalents).
+    """
+    best = None
+    for c in (512, 256, 128, 64, 32, 16, 8):
+        nb = -(-b_pad // c)
+        cost = nb * 384 + nb * c
+        if best is None or cost < best[0]:
+            best = (cost, c)
+    return best[1]
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def _matmul_jnp(x_pad, packed, scales, out_dtype):
     wt = _dequant_t_jnp(packed, scales, jnp.float32)
@@ -248,23 +267,25 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
 
     bm_unit = 16 if x.dtype in (jnp.bfloat16, jnp.float16) else 8
     b_pad = pad_to(max(B, 1), bm_unit)
-    if b_pad != B or n_pad != n:
-        x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
 
     interpret = env.use_interpret()
     # The byte-table kernel's bitcast row-pair expansion is a hardware
     # (Mosaic) semantic; route interpret mode through the exact kernel.
     use_fast = env.backend() == "pallas" and not interpret and x2.dtype == jnp.bfloat16
     if env.backend() == "pallas":
-        bm = _pick_tile(b_pad, (128, 64, 32, 16, 8))
+        bm = _pick_bm(b_pad)
+        b_pad = pad_to(b_pad, bm)
         if use_fast:
-            # Swept on v5e (benchmarks/tile_sweep.py): larger K/out tiles win
-            # (fewer grid steps); (1024, 512) best at the headline shape.
+            # Swept on v5e (benchmarks/tile_sweep.py + the round-2 prefill
+            # lab): larger K/out tiles win (fewer grid steps); (1024, 512)
+            # best at the headline decode shape AND at bm=512 prefill
+            # (164 TFLOPs at B=2048, within 10% of a dense bf16 matmul).
             # Decode-sized weights (a few MB) are grid-overhead bound: widen
-            # the out tile as far as VMEM comfortably allows.
+            # the out tile as far as VMEM comfortably allows (bm <= 128 only
+            # — wide bo + tall bm together blow the accumulator budget).
             khalf = n_pad // 2
             bks = _pick_tile(khalf, (1024, 512))
-            if khalf * m_pad <= 16 * 2**20:  # small-weight regime
+            if bm <= 128 and khalf * m_pad <= 16 * 2**20:  # small-weight regime
                 bo = next(
                     c
                     for c in (2048, 1024, 512, 256, 128)
@@ -278,6 +299,9 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
         override = env.matmul_tile_override()
         if override:
             bm, bks, bo = override
+            b_pad = pad_to(b_pad, bm)
+        if b_pad != B or n_pad != n:
+            x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
         if use_fast:
             y = _matmul_pallas_bf16(
                 x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
@@ -287,6 +311,8 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
                 x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
             )
     else:
+        if b_pad != B or n_pad != n:
+            x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
         y = _matmul_jnp(x2, pw.packed, pw.scales, out_dtype)
 
     y = y[:B, :m]
