@@ -40,18 +40,31 @@ from nf4_tpu.models.llama import (
 from nf4_tpu.utils.timing import Stats
 
 
-def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3):
+def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3, mesh=None):
     """Chained decode: token_{t+1} = argmax(logits_t); the real autoregressive
-    dependency structure, so no artificial chaining is needed."""
-    cache0 = init_kv_cache(cfg, batch)
+    dependency structure, so no artificial chaining is needed.
+
+    With ``mesh``, params must already be localized + sharded and the step
+    routes through the tensor-parallel layer."""
+    if mesh is not None:
+        from nf4_tpu.parallel.tp import init_sharded_kv_cache, tp_decode_step
+
+        cache0 = init_sharded_kv_cache(cfg, batch, mesh)
+    else:
+        cache0 = init_kv_cache(cfg, batch)
 
     @jax.jit
     def step(p, token, pos, cache):
         # params must be an ARGUMENT: closing over them bakes ~1GB of
         # weights into the HLO as constants (and breaks remote compile).
-        logits, new_cache = decode_step(
-            p, cfg, token=token, cache=cache, positions=pos
-        )
+        if mesh is not None:
+            from nf4_tpu.parallel.tp import tp_decode_step
+
+            logits, new_cache = tp_decode_step(p, cfg, mesh, token, cache, pos)
+        else:
+            logits, new_cache = decode_step(
+                p, cfg, token=token, cache=cache, positions=pos
+            )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return nxt, pos + 1, new_cache
 
@@ -71,16 +84,28 @@ def measure_decode_chain(params, cfg, batch: int, n1=20, n2=60, repeats=3):
     return Stats(vals)
 
 
-def measure_prefill(params, cfg, batch: int, seqlen: int, repeats=3):
-    cache = init_kv_cache(cfg, batch)
+def measure_prefill(params, cfg, batch: int, seqlen: int, repeats=3, mesh=None):
+    if mesh is not None:
+        from nf4_tpu.parallel.tp import init_sharded_kv_cache
+
+        cache = init_sharded_kv_cache(cfg, batch, mesh)
+    else:
+        cache = init_kv_cache(cfg, batch)
     toks = jnp.zeros((batch, seqlen), jnp.int32)
     positions = jnp.broadcast_to(jnp.arange(seqlen, dtype=jnp.int32), (batch, seqlen))
     seq_lens = jnp.full((batch,), seqlen, jnp.int32)
 
     @jax.jit
     def pf(p, t, c):
-        logits, _ = forward(p, cfg, t, c, positions, seq_lens)
-        return logits[:, -1, :]
+        if mesh is not None:
+            from nf4_tpu.parallel.tp import tp_forward
+
+            logits, _ = tp_forward(
+                p, cfg, mesh, t, c, positions, seq_lens, last_only=True
+            )
+            return logits
+        logits, _ = forward(p, cfg, t, c, positions, seq_lens, last_only=True)
+        return logits
 
     def run(n):
         t = toks
@@ -185,6 +210,11 @@ def main():
                     help="int8-quantize the KV cache (cfg.kv_quant)")
     ap.add_argument("--q-lm-head", action="store_true",
                     help="NF4-quantize the lm_head (cfg.quantize_lm_head)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="serve through the tensor-parallel layer over a "
+                    "tp-device mesh (requires that many devices; on the "
+                    "CPU backend set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     ap.add_argument("--synthetic", action="store_true",
                     help="build packed weights with random codes directly on "
                     "device (seconds instead of minutes; identical compute/"
@@ -197,6 +227,8 @@ def main():
 
     if args.max_seq_len:
         cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq_len)
+    if args.tp > 1:
+        cfg = dataclasses.replace(cfg, tp_shards=args.tp)
     if args.kv8:
         cfg = dataclasses.replace(cfg, kv_quant=True)
         print("kv cache: int8 (per-token absmax scales)")
@@ -222,23 +254,35 @@ def main():
         print(f"int8 recode: {time.perf_counter() - t0:.1f}s (2x weight bytes)")
         wbytes = wbytes * 2  # int8 stream is twice the packed-NF4 stream
 
+    mesh = None
+    n_chips = 1
+    if args.tp > 1:
+        from nf4_tpu.parallel.mesh import make_mesh
+        from nf4_tpu.parallel.tp import localize_params, shard_params
+
+        mesh = make_mesh(tp=args.tp, dp=1)
+        params, _ = shard_params(localize_params(params, args.tp), mesh)
+        n_chips = args.tp
+        print(f"tensor parallel: tp={args.tp} over {n_chips} devices")
+
     print(f"\n--- decode (weight stream ~{wbytes / 2**20:.0f} MiB/token-step) ---")
     for b in (int(s) for s in args.batch_sizes.split(",")):
-        st = measure_decode_chain(params, cfg, b)
+        st = measure_decode_chain(params, cfg, b, mesh=mesh)
         tps = b / st.median
         eff = wbytes / st.median / 1e9
         print(
             f"  batch {b:3d}: {st.median * 1e3:7.3f} ms/step -> "
-            f"{tps:8.1f} tok/s/chip ({eff:.0f} GB/s weight stream)"
+            f"{tps:8.1f} tok/s ({tps / n_chips:.1f} tok/s/chip, "
+            f"{eff:.0f} GB/s aggregate weight stream)"
         )
 
     print("\n--- prefill ---")
     b = 1
-    st = measure_prefill(params, cfg, b, args.prefill_len)
+    st = measure_prefill(params, cfg, b, args.prefill_len, mesh=mesh)
     tps = b * args.prefill_len / st.median
     print(
         f"  batch {b}, len {args.prefill_len}: {st.median * 1e3:.1f} ms -> "
-        f"{tps:,.0f} tok/s/chip"
+        f"{tps:,.0f} tok/s ({tps / n_chips:,.0f} tok/s/chip)"
     )
 
 

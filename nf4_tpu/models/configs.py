@@ -6,6 +6,7 @@ from .llama import LlamaConfig
 
 __all__ = [
     "TINY_TEST",
+    "TINY_TP",
     "TINYLLAMA_1_1B",
     "MISTRAL_7B",
     "GEMMA_7B",
@@ -25,6 +26,20 @@ TINY_TEST = LlamaConfig(
     num_kv_heads=2,
     head_dim=32,
     max_seq_len=64,
+)
+
+# Miniature TP-shardable config (every column shard keeps a 128-lane tile
+# at tp=4; KV heads divide): CPU-mesh sharding tests and --tp smoke runs.
+TINY_TP = LlamaConfig(
+    vocab_size=256,
+    hidden_size=256,
+    intermediate_size=512,
+    num_layers=2,
+    num_heads=8,
+    num_kv_heads=4,
+    head_dim=128,
+    max_seq_len=32,
+    tp_shards=4,
 )
 
 # TinyLlama-1.1B (BASELINE.json config 2: single-chip decode target).
@@ -114,6 +129,7 @@ LLAMA3_70B = LlamaConfig(
 
 _REGISTRY = {
     "tiny-test": TINY_TEST,
+    "tiny-tp": TINY_TP,
     "tinyllama-1.1b": TINYLLAMA_1_1B,
     "mistral-7b": MISTRAL_7B,
     "gemma-7b": GEMMA_7B,

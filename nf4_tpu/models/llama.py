@@ -383,41 +383,6 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     )
 
 
-def _attention(q, k, v, mask, scale, k_scale=None, v_scale=None):
-    """q: [B,H,S,D]; k,v: [B,KV,T,D] (bf16, or int8 with per-token absmax
-    ``k_scale``/``v_scale`` [B,KV,T]); mask: [B,1,S,T] bool (True=visible).
-
-    int8 KV: the scales factor out of the contractions — scores pick up
-    ``k_scale/127`` per key token, probs pick up ``v_scale/127`` per value
-    token — so the dequantized cache never materializes.
-    """
-    b, nh, s, d = q.shape
-    nkv = k.shape[1]
-    group = nh // nkv
-    compute_dtype = q.dtype
-    q = q.reshape(b, nkv, group, s, d)
-    scores = jnp.einsum(
-        "bkgsd,bktd->bkgst",
-        q,
-        k.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores * scale
-    if k_scale is not None:
-        scores = scores * (k_scale * (1.0 / 127.0))[:, :, None, None, :]
-    scores = jnp.where(mask[:, :, None, :, :], scores, jnp.float32(-1e30))
-    probs = jax.nn.softmax(scores, axis=-1)
-    if v_scale is not None:
-        probs = probs * (v_scale * (1.0 / 127.0))[:, :, None, None, :]
-    out = jnp.einsum(
-        "bkgst,bktd->bkgsd",
-        probs.astype(compute_dtype),
-        v.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(b, nh, s, d).astype(compute_dtype)
-
-
 def _quantize_kv(t):
     """[B,KV,S,D] -> (int8 values, fp32 per-token absmax scales [B,KV,S])."""
     tf = t.astype(jnp.float32)
@@ -433,7 +398,7 @@ def _layer_forward(
     lp: LayerParams,
     layer_cache: KVCache,
     positions,
-    mask,
+    seq_lens,
     cos,
     sin,
     reduce_fn=None,
@@ -487,14 +452,18 @@ def _layer_forward(
             v=upd(layer_cache.v, v.astype(layer_cache.v.dtype)),
         )
 
-    attn = _attention(
+    from ..ops.attention import attention
+
+    attn = attention(
         q,
         layer_cache.k,
         layer_cache.v,
-        mask,
-        cfg.head_dim**-0.5,
-        layer_cache.k_scale,
-        layer_cache.v_scale,
+        positions,
+        seq_lens,
+        scale=cfg.head_dim**-0.5,
+        sliding_window=cfg.sliding_window,
+        k_scale=layer_cache.k_scale,
+        v_scale=layer_cache.v_scale,
     )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
@@ -533,6 +502,7 @@ def forward(
     positions: jax.Array,  # [B, S] int32 — absolute positions of `tokens`
     seq_lens: jax.Array,  # [B] int32 — total visible length AFTER this step
     reduce_fn=None,
+    last_only: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """General step: embeds tokens, runs all layers via scan, returns logits.
 
@@ -541,29 +511,28 @@ def forward(
     parallelism, ``cfg`` describes the per-device slice (heads /
     intermediate / vocab divided by the TP degree), ``reduce_fn`` is the
     TP psum, and the returned logits cover the local lm_head shard.
+
+    ``last_only=True`` returns logits only for each sequence's last valid
+    token ([B, V] instead of [B, S, V]) — serving prefill never needs the
+    full-sequence logits, whose [B, S, vocab] fp32 tensor is tens of GB at
+    long context (Llama-3 vocab: 8 x 8192 x 128256 fp32 = 33 GB).
     """
     b, s = tokens.shape
-    t_max = cache.max_seq_len
 
     x = params.embed[tokens]  # [B,S,H]
     if cfg.scale_embeddings:  # Gemma: embeddings scaled by sqrt(hidden)
         x = (x.astype(jnp.float32) * (cfg.hidden_size**0.5)).astype(x.dtype)
     cos, sin = rope_tables(cfg, positions)
 
-    # Visibility: cache slot t is visible to query at absolute position p iff
-    # t <= p and t < seq_len.  (Slots beyond seq_len hold zeros/garbage.)
-    t_ids = jnp.arange(t_max)[None, None, :]  # [1,1,T]
-    vis = (t_ids <= positions[:, :, None]) & (t_ids < seq_lens[:, None, None])
-    if cfg.sliding_window is not None:
-        # Mistral-style: only the last `sliding_window` positions are
-        # visible (t > p - window).
-        vis = vis & (t_ids > positions[:, :, None] - cfg.sliding_window)
-    mask = vis[:, None, :, :]  # [B,1,S,T]
+    # Visibility (cache slot t visible to query position p iff t <= p,
+    # t < seq_len, and within the sliding window) is computed chunk-wise
+    # inside ops.attention from (positions, seq_lens) — the O(B*S*T) mask
+    # tensor is never materialized.
 
     def body(x, layer):
         lp, layer_cache = layer
         x, layer_cache = _layer_forward(
-            cfg, x, lp, layer_cache, positions, mask, cos, sin, reduce_fn
+            cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn
         )
         return x, layer_cache
 
@@ -571,6 +540,10 @@ def forward(
     # quantized, the scale arrays) carries the leading layer axis.
     x, new_cache = jax.lax.scan(body, x, (params.layers, cache))
 
+    if last_only:
+        # Row index of each sequence's last written token within this call.
+        last_idx = jnp.clip(seq_lens - 1 - positions[:, 0], 0, s - 1)
+        x = x[jnp.arange(b), last_idx]  # [B, H]
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     if isinstance(params.lm_head, (PackedNF4,)) or not isinstance(
         params.lm_head, jax.Array

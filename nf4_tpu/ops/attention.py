@@ -1,0 +1,242 @@
+"""Attention kernels: naive XLA and chunked (flash-style) online softmax.
+
+The reference package has no model stack at all (its "model" is a benchmark
+MLP, reference ``benchmark.py:38-50``); attention exists here because the
+TPU build serves full Llama models.  Two interchangeable implementations of
+one math contract:
+
+* **naive** — materializes the [B, KV, G, S, T] fp32 score tensor.  Optimal
+  for decode (S = 1) and short prefills, where the tensor is small and XLA
+  fuses everything.
+* **chunked** — flash-style streaming softmax: an outer ``lax.scan`` over
+  query chunks, an inner ``lax.scan`` over KV chunks carrying the running
+  (max, normalizer, accumulator) triple.  Peak memory per step is
+  O(q_chunk x kv_chunk) instead of O(S x T), so an 8k-token prefill that
+  would materialize tens of GB of scores runs in a few hundred MB.  All
+  shapes static, both scans compile once.
+
+Both paths fuse int8 KV dequantization: per-token absmax scales fold into
+the scores (k) and probabilities (v), so the dequantized cache never
+materializes (the round-1 implementation converted the whole cache per
+step, which made the int8 cache *slower* than bf16).
+
+Masking is computed from (positions, seq_lens, sliding_window) per chunk —
+the O(B x S x T) boolean mask tensor the round-1 model built is never
+materialized either.
+
+Numerics: fp32 softmax and accumulation in both paths.  The chunked path is
+mathematically identical to naive softmax but associates the sums
+differently, so results match to fp32 rounding (not bit-exact); fully
+masked query rows return finite garbage (they are padding by construction —
+same contract as the naive path's uniform-softmax fallback).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["attention", "naive_attention", "chunked_attention"]
+
+# Plain Python float (NOT a module-level device array: a captured device
+# constant becomes an extra executable input buffer that can be freed
+# between calls, breaking later invocations with a buffer-count mismatch).
+_NEG = -1e30
+
+
+def _visibility(t_ids, positions, seq_lens, sliding_window):
+    """Bool visibility [B, S, C] for key slots ``t_ids`` [C] against query
+    ``positions`` [B, S]: causal (t <= p), length-bounded (t < seq_len),
+    optionally sliding-window (t > p - w)."""
+    t = t_ids[None, None, :]
+    p = positions[:, :, None]
+    vis = (t <= p) & (t < seq_lens[:, None, None])
+    if sliding_window is not None:
+        vis = vis & (t > p - sliding_window)
+    return vis
+
+
+def naive_attention(
+    q: jax.Array,  # [B, H, S, D]
+    k: jax.Array,  # [B, KV, T, D] (bf16 or int8)
+    v: jax.Array,  # [B, KV, T, D]
+    positions: jax.Array,  # [B, S] absolute positions of the queries
+    seq_lens: jax.Array,  # [B]
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,  # [B, KV, T] fp32 absmax (int8 KV)
+    v_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    b, nh, s, d = q.shape
+    nkv, t_max = k.shape[1], k.shape[2]
+    group = nh // nkv
+    compute_dtype = q.dtype
+    qg = q.reshape(b, nkv, group, s, d)
+    scores = jnp.einsum(
+        "bkgsd,bktd->bkgst",
+        qg,
+        k.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    if k_scale is not None:
+        scores = scores * (k_scale * (1.0 / 127.0))[:, :, None, None, :]
+    vis = _visibility(
+        jnp.arange(t_max, dtype=jnp.int32), positions, seq_lens, sliding_window
+    )
+    scores = jnp.where(vis[:, None, None, :, :], scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * (v_scale * (1.0 / 127.0))[:, :, None, None, :]
+    out = jnp.einsum(
+        "bkgst,bktd->bkgsd",
+        probs.astype(compute_dtype),
+        v.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, nh, s, d).astype(compute_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "q_chunk", "kv_chunk"),
+)
+def chunked_attention(
+    q: jax.Array,  # [B, H, S, D]
+    k: jax.Array,  # [B, KV, T, D] (bf16 or int8)
+    v: jax.Array,
+    positions: jax.Array,  # [B, S]
+    seq_lens: jax.Array,  # [B]
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    q_chunk: int = 512,
+    kv_chunk: int = 512,
+) -> jax.Array:
+    b, nh, s, d = q.shape
+    nkv, t_max = k.shape[1], k.shape[2]
+    group = nh // nkv
+    compute_dtype = q.dtype
+
+    # Pad S up to a q_chunk multiple; padded rows get position -1 (never
+    # visible) and are sliced off at the end.
+    s_pad = -(-s // q_chunk) * q_chunk
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        positions = jnp.pad(
+            positions, ((0, 0), (0, s_pad - s)), constant_values=-1
+        )
+    # Pad T up to a kv_chunk multiple (slots >= seq_len are masked anyway).
+    t_pad = -(-t_max // kv_chunk) * kv_chunk
+    if t_pad != t_max:
+        pad_kv = ((0, 0), (0, 0), (0, t_pad - t_max), (0, 0))
+        k = jnp.pad(k, pad_kv)
+        v = jnp.pad(v, pad_kv)
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, t_pad - t_max)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, t_pad - t_max)))
+
+    nq = s_pad // q_chunk
+    nt = t_pad // kv_chunk
+
+    # [nq, B, KV, G, Sc, D] query tiles / [nt, B, KV, C, D] key-value tiles.
+    q_tiles = (
+        q.reshape(b, nkv, group, nq, q_chunk, d).transpose(3, 0, 1, 2, 4, 5)
+    )
+    pos_tiles = positions.reshape(b, nq, q_chunk).transpose(1, 0, 2)
+    k_tiles = k.reshape(b, nkv, nt, kv_chunk, d).transpose(2, 0, 1, 3, 4)
+    v_tiles = v.reshape(b, nkv, nt, kv_chunk, d).transpose(2, 0, 1, 3, 4)
+    ks_tiles = vs_tiles = None
+    if k_scale is not None:
+        ks_tiles = k_scale.reshape(b, nkv, nt, kv_chunk).transpose(2, 0, 1, 3)
+        vs_tiles = v_scale.reshape(b, nkv, nt, kv_chunk).transpose(2, 0, 1, 3)
+    t0s = jnp.arange(nt, dtype=jnp.int32) * kv_chunk
+
+    def one_q_tile(carry, xs):
+        qt, pos_t = xs  # [B,KV,G,Sc,D], [B,Sc]
+
+        def kv_body(state, kv_xs):
+            m, l, o = state
+            if ks_tiles is not None:
+                kc, vc, t0, ksc, vsc = kv_xs
+            else:
+                kc, vc, t0 = kv_xs
+                ksc = vsc = None
+            sc = jnp.einsum(
+                "bkgsd,bktd->bkgst",
+                qt,
+                kc.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if ksc is not None:
+                sc = sc * (ksc * (1.0 / 127.0))[:, :, None, None, :]
+            t_ids = t0 + jnp.arange(kv_chunk, dtype=jnp.int32)
+            vis = _visibility(t_ids, pos_t, seq_lens, sliding_window)
+            sc = jnp.where(vis[:, None, None, :, :], sc, _NEG)
+
+            m_new = jnp.maximum(m, sc.max(axis=-1))
+            # exp(_NEG - _NEG) = 1 only while a row is still fully masked;
+            # the first visible chunk raises m_new and alpha discards the
+            # garbage accumulated so far (finite self-correcting flash).
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(sc - m_new[..., None])
+            l = l * alpha + p.sum(axis=-1)
+            if vsc is not None:
+                p = p * (vsc * (1.0 / 127.0))[:, :, None, None, :]
+            o = o * alpha[..., None] + jnp.einsum(
+                "bkgst,bktd->bkgsd",
+                p.astype(compute_dtype),
+                vc.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l, o), None
+
+        m0 = jnp.full((b, nkv, group, q_chunk), _NEG, jnp.float32)
+        l0 = jnp.zeros((b, nkv, group, q_chunk), jnp.float32)
+        o0 = jnp.zeros((b, nkv, group, q_chunk, d), jnp.float32)
+        kv_xs = (
+            (k_tiles, v_tiles, t0s)
+            if ks_tiles is None
+            else (k_tiles, v_tiles, t0s, ks_tiles, vs_tiles)
+        )
+        (m, l, o), _ = jax.lax.scan(kv_body, (m0, l0, o0), kv_xs)
+        out = o / jnp.maximum(l, 1e-30)[..., None]
+        return carry, out.astype(compute_dtype)
+
+    _, outs = jax.lax.scan(one_q_tile, None, (q_tiles, pos_tiles))
+    # [nq, B, KV, G, Sc, D] -> [B, H, S, D]
+    out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(b, nh, s_pad, d)
+    return out[:, :, :s, :]
+
+
+# Use the chunked path when the naive score tensor would be large enough to
+# matter (it allocates B*H*S*T fp32): this threshold keeps decode (S=1) and
+# short prefills on the fused naive path, which measures faster there.
+_CHUNKED_MIN_SCORE_ELEMS = 1 << 27  # 512 MB of fp32 scores
+
+
+def attention(
+    q, k, v, positions, seq_lens, *, scale,
+    sliding_window=None, k_scale=None, v_scale=None,
+    q_chunk: int = 512, kv_chunk: int = 512,
+):
+    """Dispatching entry point; see module docstring for the contract."""
+    b, nh, s, _ = q.shape
+    t_max = k.shape[2]
+    score_elems = b * nh * s * t_max
+    if s > 1 and score_elems >= _CHUNKED_MIN_SCORE_ELEMS:
+        return chunked_attention(
+            q, k, v, positions, seq_lens, scale=scale,
+            sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
+            q_chunk=min(q_chunk, s), kv_chunk=kv_chunk,
+        )
+    return naive_attention(
+        q, k, v, positions, seq_lens, scale=scale,
+        sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
+    )

@@ -285,7 +285,10 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
             # — wide bo + tall bm together blow the accumulator budget).
             khalf = n_pad // 2
             bks = _pick_tile(khalf, (1024, 512))
-            if bm <= 128 and khalf * m_pad <= 16 * 2**20:  # small-weight regime
+            # Wide-out-tile regime: small weights (grid-overhead bound) and
+            # decode batches (bm <= 32; measured ~10-15% faster at the
+            # Llama-3-8B MLP shapes with bo=1024/2048 — fewer grid steps).
+            if bm <= 128 and (khalf * m_pad <= 16 * 2**20 or bm <= 32):
                 bo = next(
                     c
                     for c in (2048, 1024, 512, 256, 128)

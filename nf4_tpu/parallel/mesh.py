@@ -1,4 +1,30 @@
-"""Device mesh construction helpers."""
+"""Device mesh construction (single- and multi-host).
+
+Multi-host story (the TPU analog of the reference-ecosystem's NCCL role is
+XLA collectives over ICI within a slice and DCN across slices — SURVEY.md
+§2.2): every host runs the SAME program, one JAX process per host.
+
+Launch recipe (N hosts):
+
+    # on every host, before any jax call:
+    import nf4_tpu.parallel.mesh as mesh
+    mesh.initialize_distributed()          # TPU pods: args auto-detected
+    # or explicitly:
+    # mesh.initialize_distributed("10.0.0.1:8476", num_processes=N,
+    #                             process_id=<this host's index>)
+    m = mesh.make_mesh(tp=8, dp=N)         # global mesh over all chips
+
+``make_mesh`` places the tensor-parallel axis on ICI-adjacent devices (via
+``mesh_utils.create_device_mesh``) so the per-layer psums ride ICI and only
+the data-parallel axis ever crosses DCN.  All shard_map entry points in
+``parallel.tp`` operate on the global mesh unchanged — under multi-host
+JAX, globally-sharded arrays + the same jitted program is the whole
+programming model.
+
+On this rig (one tunneled chip) the multi-host path is exercised on the
+virtual CPU mesh: ``__graft_entry__.dryrun_multichip(8)`` runs a dp=2 x
+tp=4 factoring — the layout of a 2-host x 4-chip slice.
+"""
 
 from __future__ import annotations
 
@@ -7,7 +33,32 @@ from typing import Optional, Sequence
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh"]
+__all__ = ["make_mesh", "initialize_distributed"]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (one process per host) — idempotent.
+
+    With no arguments, relies on the TPU pod metadata autodetection built
+    into ``jax.distributed.initialize``; pass explicit values for other
+    launch environments.  Safe to call on a single host (no-op when there
+    is nothing to coordinate and no arguments are given).
+    """
+    if num_processes is None and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # single-host / no coordinator: fine
+            return
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(
@@ -15,12 +66,31 @@ def make_mesh(
     dp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh.  ``tp`` defaults to all devices / dp."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a ("dp", "tp") mesh.  ``tp`` defaults to all devices / dp.
+
+    Without explicit ``devices``, the mesh is laid out with
+    ``mesh_utils.create_device_mesh``, which orders devices by ICI
+    adjacency (and host locality under multi-host) so the tp axis — the
+    one carrying per-layer psums — stays on the fastest links.  Passing
+    ``devices`` (tests, sub-meshes) keeps the given order.
+    """
+    all_devices = list(devices if devices is not None else jax.devices())
     if tp is None:
-        tp = len(devices) // dp
-    assert dp * tp <= len(devices), f"need {dp * tp} devices, have {len(devices)}"
+        tp = len(all_devices) // dp
+    assert dp * tp <= len(all_devices), (
+        f"need {dp * tp} devices, have {len(all_devices)}"
+    )
     import numpy as np
 
-    grid = np.asarray(devices[: dp * tp], dtype=object).reshape(dp, tp)
+    if devices is None and dp * tp == len(all_devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(
+                (dp, tp), devices=all_devices
+            )
+            return Mesh(grid, axis_names=("dp", "tp"))
+        except Exception:
+            pass  # fall back to linear order (e.g. odd virtual topologies)
+    grid = np.asarray(all_devices[: dp * tp], dtype=object).reshape(dp, tp)
     return Mesh(grid, axis_names=("dp", "tp"))

@@ -214,6 +214,7 @@ def tp_forward(
     seq_lens: jax.Array,
     axis: str = "tp",
     data_axis=None,
+    last_only: bool = False,
 ):
     """shard_map-wrapped forward.  ``params_local`` must come from
     :func:`localize_params`; arrays must be sharded per :func:`param_specs`.
@@ -222,12 +223,14 @@ def tp_forward(
     (data parallelism): tokens/cache/logits are split on batch, weights are
     replicated across it.
 
-    Returns (logits [B,S,V] vocab-sharded over ``axis``, new cache).
+    Returns (logits [B,S,V] — or [B,V] with ``last_only`` — vocab-sharded
+    over ``axis``, new cache).
     """
     tp = mesh.shape[axis]
     cfg_local = tp_local_config(cfg, tp)
     specs = param_specs(params_local, axis)
     da = data_axis
+    logits_spec = P(da, axis) if last_only else P(da, None, axis)
 
     @functools.partial(
         jax.shard_map,
@@ -239,13 +242,14 @@ def tp_forward(
             P(da, None),
             P(da),
         ),
-        out_specs=(P(da, None, axis), cache_spec(axis, da, kv_quant=cfg.kv_quant)),
+        out_specs=(logits_spec, cache_spec(axis, da, kv_quant=cfg.kv_quant)),
         check_vma=False,
     )
     def fn(params, kv, tokens, positions, seq_lens):
         reduce_fn = lambda t: jax.lax.psum(t, axis)  # noqa: E731
         logits, new_cache = forward(
-            params, cfg_local, tokens, kv, positions, seq_lens, reduce_fn
+            params, cfg_local, tokens, kv, positions, seq_lens, reduce_fn,
+            last_only=last_only,
         )
         return logits, new_cache
 

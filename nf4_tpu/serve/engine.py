@@ -52,6 +52,14 @@ def _token_logprobs(logits: jax.Array, tokens) -> jax.Array:
     return lp[jnp.arange(lp.shape[0]), jnp.asarray(tokens)]
 
 
+def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis):
+    from ..parallel.tp import tp_decode_step
+
+    return tp_decode_step(
+        params, cfg, mesh, token, cache, positions, axis=axis
+    )
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -60,7 +68,14 @@ def _bucket(n: int, minimum: int = 16) -> int:
 
 
 class Engine:
-    """Synchronous continuous-batching engine over a fixed slot count."""
+    """Synchronous continuous-batching engine over a fixed slot count.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh`` with a tensor-parallel axis) to
+    serve through the TP layer: the engine localizes + shards the params
+    (``cfg.tp_shards`` must equal the mesh's TP degree), keeps the KV cache
+    head-sharded, and routes prefill/decode through ``parallel.tp``'s
+    shard_mapped entry points.  Logits stay vocab-sharded until sampling.
+    """
 
     def __init__(
         self,
@@ -70,21 +85,52 @@ class Engine:
         eos_token: int = 2,
         sampling: SamplingParams = SamplingParams(),
         seed: int = 0,
+        mesh=None,
+        tp_axis: str = "tp",
     ):
-        self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
         self.eos_token = eos_token
         self.sampling = sampling
         self._key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
 
-        self._decode = jax.jit(
-            functools.partial(decode_step, cfg=cfg), static_argnames=()
-        )
-        self._prefill_g = jax.jit(
-            functools.partial(self._prefill_impl, cfg=cfg),
-            static_argnames=("bucket",),
-        )
+        if mesh is not None:
+            from ..parallel.tp import (
+                init_sharded_kv_cache,
+                localize_params,
+                shard_params,
+                tp_decode_step,
+            )
+
+            tp = mesh.shape[tp_axis]
+            self.params, _ = shard_params(
+                localize_params(params, tp), mesh, tp_axis
+            )
+            self._decode = jax.jit(
+                functools.partial(
+                    _tp_decode_wrap, cfg=cfg, mesh=mesh, axis=tp_axis
+                )
+            )
+            self._prefill_g = jax.jit(
+                functools.partial(
+                    self._prefill_impl_tp, cfg=cfg, mesh=mesh, axis=tp_axis
+                ),
+                static_argnames=("bucket",),
+            )
+            self._init_cache = functools.partial(
+                init_sharded_kv_cache, cfg, batch_size, mesh, tp_axis
+            )
+        else:
+            self.params = params
+            self._decode = jax.jit(
+                functools.partial(decode_step, cfg=cfg), static_argnames=()
+            )
+            self._prefill_g = jax.jit(
+                functools.partial(self._prefill_impl, cfg=cfg),
+                static_argnames=("bucket",),
+            )
+            self._init_cache = functools.partial(init_kv_cache, cfg, batch_size)
 
     # -- jitted pieces ------------------------------------------------------
 
@@ -102,13 +148,35 @@ class Engine:
             jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
         )
         slot_cache = jax.tree.map(lambda a: a[:, slots], cache)
-        logits, new_slot_cache = forward(
-            params, cfg, tokens, slot_cache, positions, lengths
+        last, new_slot_cache = forward(
+            params, cfg, tokens, slot_cache, positions, lengths, last_only=True
         )
         cache = jax.tree.map(
             lambda full, new: full.at[:, slots].set(new), cache, new_slot_cache
         )
-        last = logits[jnp.arange(g), lengths - 1, :]
+        return last, cache
+
+    @staticmethod
+    def _prefill_impl_tp(
+        params, tokens, lengths, cache, slots, *, cfg, mesh, axis, bucket
+    ):
+        """TP variant of :meth:`_prefill_impl`: the forward runs shard_mapped
+        over the mesh; the slot gather/scatter stays outside (plain XLA ops
+        on head-sharded cache leaves)."""
+        from ..parallel.tp import tp_forward
+
+        g = tokens.shape[0]
+        positions = jnp.broadcast_to(
+            jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
+        )
+        slot_cache = jax.tree.map(lambda a: a[:, slots], cache)
+        last, new_slot_cache = tp_forward(
+            params, cfg, mesh, tokens, slot_cache, positions, lengths,
+            axis=axis, last_only=True,
+        )
+        cache = jax.tree.map(
+            lambda full, new: full.at[:, slots].set(new), cache, new_slot_cache
+        )
         return last, cache
 
     # -- public API ---------------------------------------------------------
@@ -136,7 +204,7 @@ class Engine:
         queue = list(range(len(prompts)))
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
 
-        cache = init_kv_cache(cfg, B)
+        cache = self._init_cache()
 
         # Per-slot host state.
         slot_req = [-1] * B  # request index or -1 (idle)

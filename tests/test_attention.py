@@ -1,0 +1,160 @@
+"""Chunked (flash-style) attention vs the naive reference implementation.
+
+The two paths implement one math contract; chunked differs only in sum
+association, so agreement is to fp32 rounding.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nf4_tpu.ops.attention import attention, chunked_attention, naive_attention
+
+
+def _mk(rng, b=2, h=8, nkv=4, s=64, t=128, d=32, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, nkv, t, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, nkv, t, d)), dtype)
+    return q, k, v
+
+
+def _assert_close(a, b, tol=2e-5):
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=tol, atol=tol
+    )
+
+
+class TestChunkedMatchesNaive:
+    @pytest.mark.parametrize("q_chunk,kv_chunk", [(16, 32), (64, 64), (32, 128)])
+    def test_causal_prefill(self, rng, q_chunk, kv_chunk):
+        q, k, v = _mk(rng)
+        b, _, s, _ = q.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+        want = naive_attention(q, k, v, positions, seq_lens, scale=0.125)
+        got = chunked_attention(
+            q, k, v, positions, seq_lens, scale=0.125,
+            q_chunk=q_chunk, kv_chunk=kv_chunk,
+        )
+        _assert_close(got, want)
+
+    def test_ragged_seq_lens(self, rng):
+        q, k, v = _mk(rng)
+        b, _, s, _ = q.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.asarray([s, s // 2], dtype=jnp.int32)
+        want = naive_attention(q, k, v, positions, seq_lens, scale=0.125)
+        got = chunked_attention(
+            q, k, v, positions, seq_lens, scale=0.125, q_chunk=32, kv_chunk=32
+        )
+        # Rows past seq_len differ (both emit garbage); compare visible rows.
+        _assert_close(got[0], want[0])
+        _assert_close(got[1, :, : s // 2], want[1, :, : s // 2])
+
+    def test_unaligned_s_pads(self, rng):
+        q, k, v = _mk(rng, s=50, t=96)
+        b, _, s, _ = q.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+        want = naive_attention(q, k, v, positions, seq_lens, scale=0.125)
+        got = chunked_attention(
+            q, k, v, positions, seq_lens, scale=0.125, q_chunk=32, kv_chunk=64
+        )
+        _assert_close(got, want)
+
+    def test_sliding_window(self, rng):
+        q, k, v = _mk(rng)
+        b, _, s, _ = q.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+        want = naive_attention(
+            q, k, v, positions, seq_lens, scale=0.125, sliding_window=24
+        )
+        got = chunked_attention(
+            q, k, v, positions, seq_lens, scale=0.125, sliding_window=24,
+            q_chunk=16, kv_chunk=32,
+        )
+        _assert_close(got, want)
+
+    def test_int8_kv_fused_scales(self, rng):
+        q, k, v = _mk(rng)
+        b, nkv, t, d = k.shape
+        k8 = jnp.asarray(rng.integers(-127, 128, size=k.shape), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, size=v.shape), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.5, 2.0, size=(b, nkv, t)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.5, 2.0, size=(b, nkv, t)), jnp.float32)
+        s = q.shape[2]
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+        want = naive_attention(
+            q, k8, v8, positions, seq_lens, scale=0.125, k_scale=ks, v_scale=vs
+        )
+        got = chunked_attention(
+            q, k8, v8, positions, seq_lens, scale=0.125, k_scale=ks,
+            v_scale=vs, q_chunk=16, kv_chunk=32,
+        )
+        _assert_close(got, want)
+
+    def test_decode_single_query(self, rng):
+        q, k, v = _mk(rng, s=1)
+        b = q.shape[0]
+        positions = jnp.full((b, 1), 37, dtype=jnp.int32)
+        seq_lens = jnp.full((b,), 38, dtype=jnp.int32)
+        want = naive_attention(q, k, v, positions, seq_lens, scale=0.125)
+        got = chunked_attention(
+            q, k, v, positions, seq_lens, scale=0.125, q_chunk=1, kv_chunk=32
+        )
+        _assert_close(got, want)
+
+
+class TestDispatch:
+    def test_small_uses_naive_path_result(self, rng):
+        q, k, v = _mk(rng, s=8, t=32)
+        b, _, s, _ = q.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+        got = attention(q, k, v, positions, seq_lens, scale=0.125)
+        want = naive_attention(q, k, v, positions, seq_lens, scale=0.125)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestModelIntegration:
+    def test_forward_long_prefill_chunked_equals_naive(self, rng):
+        """Model forward with the chunked threshold forced low matches the
+        naive-path forward (same weights, same tokens)."""
+        from nf4_tpu.models.llama import LlamaConfig, init_params, prefill
+        from nf4_tpu.ops import attention as attn_mod
+
+        cfg = LlamaConfig(
+            vocab_size=128,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            max_seq_len=64,
+            quantize=False,
+        )
+        params = init_params(cfg, seed=0)
+        toks = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, size=(2, 48)), jnp.int32
+        )
+        want, _ = prefill(params, cfg, toks)
+
+        old = attn_mod._CHUNKED_MIN_SCORE_ELEMS
+        attn_mod._CHUNKED_MIN_SCORE_ELEMS = 1
+        try:
+            got, _ = prefill(params, cfg, toks)
+        finally:
+            attn_mod._CHUNKED_MIN_SCORE_ELEMS = old
+        g = np.asarray(got, np.float32)
+        w = np.asarray(want, np.float32)
+        # bf16 association differences amplify across layers: allow a few
+        # percent of the logit scale, and require greedy decisions to agree
+        # almost everywhere.
+        np.testing.assert_allclose(g, w, rtol=5e-2, atol=2e-2 * np.abs(w).max())
+        agree = (g.argmax(-1) == w.argmax(-1)).mean()
+        assert agree >= 0.95, f"greedy agreement {agree:.2%}"

@@ -251,3 +251,49 @@ class TestStopAndStreaming:
             on_token=lambda r, t: streamed.append((r, t)),
         )[0]
         assert [t for _r, t in streamed] == res.tokens
+
+
+class TestTPEngine:
+    """The engine served through the tensor-parallel layer on the virtual
+    8-device CPU mesh must reproduce single-device generation."""
+
+    @pytest.fixture(scope="class")
+    def tp_setup(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from nf4_tpu.models.llama import LlamaConfig
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=512,
+            num_layers=2,
+            num_heads=8,
+            num_kv_heads=4,
+            head_dim=128,
+            max_seq_len=32,
+            tp_shards=4,
+        )
+        mesh = make_mesh(tp=4, dp=2)
+        params = init_params(cfg, seed=0)
+        return cfg, params, mesh
+
+    def test_tp_generate_matches_single_device(self, tp_setup):
+        cfg, params, mesh = tp_setup
+        prompts = [[3, 5, 7], [11, 13]]
+
+        ref = Engine(params, cfg, batch_size=2, eos_token=-1)
+        want = [r.tokens for r in ref.generate(prompts, max_new_tokens=5)]
+
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        got = [r.tokens for r in eng.generate(prompts, max_new_tokens=5)]
+        assert got == want
+
+    def test_tp_continuous_batching(self, tp_setup):
+        cfg, params, mesh = tp_setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        prompts = [[i + 1, i + 2] for i in range(5)]
+        res = eng.generate(prompts, max_new_tokens=3)
+        assert len(res) == 5
+        assert all(len(r.tokens) == 3 for r in res)
