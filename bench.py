@@ -143,22 +143,58 @@ def main():
 
     # --- 3. Side: dequant-only, reference protocol-B sizes ---------------
     # (reference benchmark_optimized.py:163-167: 1K/4K/8K square weights)
+    # Exact (bit-exact select-tree) and fast (bf16 byte-table) paths.
+    from nf4_tpu.ops.dequant import dequantize_t_fast
+
     for size in (1024, 4096, 8192):
         w = (rng.standard_normal((size, size)) * 0.02).astype(np.float32)
         pw = quantize_for_tpu(w, dtype=jnp.bfloat16)
         scales0 = pw.scales
-
-        def dq(s, pw=pw):
-            out = dequantize_t(pw.replace(scales=s))
-            return s + out[0:1, 0:1].astype(s.dtype) * 1e-30
-
-        dqj = jax.jit(dq)
-        dt = marginal_chain(dqj, scales0, n1=10, n2=50)
         m_pad, n_pad = pw.padded_shape
         bytes_moved = (
             m_pad * n_pad // 2 + (n_pad // 64) * m_pad * 4 + m_pad * n_pad * 2
         )
-        log(f"dequant {size}x{size}: {dt*1e3:.3f} ms -> {bytes_moved/dt/1e9:.0f} GB/s eff")
+
+        for label, fn in (("exact", dequantize_t), ("fast", dequantize_t_fast)):
+
+            def dq(s, pw=pw, fn=fn):
+                out = fn(pw.replace(scales=s))
+                return s + out[0:1, 0:1].astype(s.dtype) * 1e-30
+
+            dt = marginal_chain(jax.jit(dq), scales0, n1=10, n2=50)
+            log(
+                f"dequant[{label}] {size}x{size}: {dt*1e3:.3f} ms -> "
+                f"{bytes_moved/dt/1e9:.0f} GB/s eff"
+            )
+
+    # --- 4. Side: prefill-shape MFU (bm >= 512, MXU-roofline regime) -----
+    # At prefill batches the 4-bit stream is no longer the roofline — the
+    # MXU is.  Report achieved TFLOPs and the fraction of the same-pass
+    # dense-matmul calibration (the MFU-of-achievable).
+    B = 2048
+    wpf = (rng.standard_normal((8192, 8192)) * 0.02).astype(np.float32)
+    pwpf = quantize_for_tpu(wpf, dtype=jnp.bfloat16)
+    xpf = jax.random.normal(jax.random.PRNGKey(5), (B, 8192), jnp.bfloat16)
+
+    def pf_step(x):
+        y = nf4_matmul(x, pwpf)
+        return x + y[:, 0:1].astype(x.dtype) * jnp.bfloat16(1e-30)
+
+    xd = jax.random.normal(jax.random.PRNGKey(6), (B, 8192), jnp.bfloat16)
+
+    def dense_step(x):
+        y = jnp.dot(x, wd, preferred_element_type=jnp.float32).astype(x.dtype)
+        # max cannot be reassociated through the dot by XLA (sum/slice can)
+        return x + jnp.max(y, axis=1, keepdims=True) * jnp.bfloat16(1e-30)
+
+    flops = 2 * B * 8192 * 8192
+    t_pf = marginal_chain(jax.jit(pf_step), xpf, n1=5, n2=20)
+    t_dense = marginal_chain(jax.jit(dense_step), xd, n1=5, n2=20)
+    log(
+        f"prefill B={B} 8192^2 fused: {t_pf*1e3:.3f} ms = "
+        f"{flops/t_pf/1e12:.1f} TFLOPs ({t_dense/t_pf*100:.0f}% of the "
+        f"same-pass dense bf16 matmul at {flops/t_dense/1e12:.1f} TFLOPs)"
+    )
 
     print(
         json.dumps(

@@ -158,3 +158,33 @@ class TestModelIntegration:
         np.testing.assert_allclose(g, w, rtol=5e-2, atol=2e-2 * np.abs(w).max())
         agree = (g.argmax(-1) == w.argmax(-1)).mean()
         assert agree >= 0.95, f"greedy agreement {agree:.2%}"
+
+
+class TestChunkedPrefill:
+    def test_matches_single_shot_prefill(self, rng):
+        from nf4_tpu.models.llama import (
+            LlamaConfig, init_params, prefill, prefill_chunked,
+        )
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_seq_len=64, quantize=False,
+        )
+        params = init_params(cfg, seed=0)
+        toks = jnp.asarray(rng.integers(0, 128, size=(2, 48)), jnp.int32)
+
+        full_logits, full_cache = prefill(params, cfg, toks)
+        want_last = full_logits[:, -1, :]
+        got_last, got_cache = prefill_chunked(params, cfg, toks, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(got_last, np.float32),
+            np.asarray(want_last, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        # cache contents identical for the written region
+        np.testing.assert_allclose(
+            np.asarray(got_cache.k[:, :, :, :48], np.float32),
+            np.asarray(full_cache.k[:, :, :, :48], np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
