@@ -60,6 +60,20 @@ def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis):
     )
 
 
+@jax.jit
+def _mask_record(mask, toks, active):
+    """Record emitted tokens in the device-resident [B, V] bool mask for
+    rows where ``active`` (the mask never round-trips to host)."""
+    hit = mask.at[jnp.arange(mask.shape[0]), toks].set(True)
+    return jnp.where(active[:, None], hit, mask)
+
+
+@jax.jit
+def _mask_reset(mask, slots, toks):
+    """Clear rows ``slots`` and record their first generated tokens."""
+    return mask.at[slots].set(False).at[slots, toks].set(True)
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -212,15 +226,19 @@ class Engine:
         slot_generated: List[List[int]] = [[] for _ in range(B)]
         slot_logprobs: List[List[float]] = [[] for _ in range(B)]
         cur_token = np.zeros(B, dtype=np.int32)
-        # Emitted-token mask per slot, for the repetition penalty (opt-in).
+        # Emitted-token mask per slot for the repetition penalty (opt-in).
+        # DEVICE-resident: updated with one scatter per step instead of
+        # re-uploading a [B, vocab] host array every decode step.
         use_rep = sampling.repetition_penalty != 1.0
-        gen_mask = np.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
+        gen_mask = (
+            jnp.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
+        )
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
             groups as real batches (group sizes in {4, 2, 1} so the jit
             compiles a bounded set of (bucket, group) shapes)."""
-            nonlocal cache
+            nonlocal cache, gen_mask
             from collections import defaultdict
 
             pending = []  # (slot, request, prompt, bucket)
@@ -273,9 +291,10 @@ class Engine:
                             [float(lps[j])] if return_logprobs else []
                         )
                         cur_token[s] = int(first[j])
-                        if gen_mask is not None:
-                            gen_mask[s] = False
-                            gen_mask[s, int(first[j])] = True
+                    if gen_mask is not None:
+                        gen_mask = _mask_reset(
+                            gen_mask, jnp.asarray(slots), jnp.asarray(first)
+                        )
 
         refill(None)
 
@@ -310,22 +329,24 @@ class Engine:
                 cache=cache,
                 positions=jnp.asarray(slot_pos),
             )
-            next_tok = np.asarray(self._sample(logits, sampling, gen_mask))
+            next_dev = self._sample(logits, sampling, gen_mask)
+            next_tok = np.asarray(next_dev)
             if return_logprobs:
                 step_lps = np.asarray(_token_logprobs(logits, next_tok))
+            active = np.asarray([r != -1 for r in slot_req])
+            if gen_mask is not None:
+                gen_mask = _mask_record(
+                    gen_mask, next_dev, jnp.asarray(active)
+                )
+            slot_pos[active] += 1
+            cur_token[active] = next_tok[active]
 
-            for s in range(B):
-                if slot_req[s] == -1:
-                    continue
-                slot_pos[s] += 1
+            for s in np.nonzero(active)[0]:
                 slot_generated[s].append(int(next_tok[s]))
                 if return_logprobs:
                     slot_logprobs[s].append(float(step_lps[s]))
                 if on_token is not None and int(next_tok[s]) not in stops:
                     on_token(slot_req[s], int(next_tok[s]))
-                cur_token[s] = int(next_tok[s])
-                if gen_mask is not None:
-                    gen_mask[s, int(next_tok[s])] = True
 
         return [r for r in results if r is not None]
 

@@ -36,6 +36,27 @@ import jax
 import jax.numpy as jnp
 
 
+def synthetic_corpus(n_bytes: int, seed: int = 7) -> np.ndarray:
+    """Procedurally generated structured text (arithmetic ledger lines).
+
+    Unlimited data -> the model cannot memorize its way to low loss, so the
+    held-out NF4 delta measures genuine generalization sensitivity rather
+    than perturbation of memorized lookups (the repo corpus is only ~430KB
+    and overfits hard)."""
+    rng = np.random.default_rng(seed)
+    lines = []
+    total = 0
+    while total < n_bytes:
+        a, b = rng.integers(0, 10000, size=2)
+        op = rng.choice(["+", "-", "*"])
+        r = {"+": a + b, "-": a - b, "*": a * b}[op]
+        tag = rng.choice(["acct", "item", "txn", "ref"])
+        line = f"{tag}:{a}{op}{b}={r};bal={r % 977}\n"
+        lines.append(line)
+        total += len(line)
+    return np.frombuffer("".join(lines).encode(), dtype=np.uint8)[:n_bytes]
+
+
 def load_corpus(root: str, max_bytes: int = 2_000_000) -> np.ndarray:
     """Deterministic byte corpus from the repo's tracked text files."""
     chunks = []
@@ -64,6 +85,14 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--gate", type=float, default=0.1)
     ap.add_argument("--eval-seqs", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument(
+        "--corpus", choices=["repo", "synthetic"], default="repo",
+        help="repo = this repository's source text (~430KB, overfits); "
+        "synthetic = unlimited procedurally generated structured text",
+    )
+    ap.add_argument("--corpus-bytes", type=int, default=8_000_000)
     args = ap.parse_args()
 
     import optax
@@ -79,11 +108,11 @@ def main() -> int:
 
     cfg = LlamaConfig(
         vocab_size=256,
-        hidden_size=256,
-        intermediate_size=512,
-        num_layers=4,
-        num_heads=8,
-        num_kv_heads=4,
+        hidden_size=args.hidden,
+        intermediate_size=2 * args.hidden,
+        num_layers=args.layers,
+        num_heads=args.hidden // 32,
+        num_kv_heads=args.hidden // 64,
         head_dim=32,
         max_seq_len=args.seq_len,
         quantize=False,  # train dense; quantize afterwards
@@ -91,7 +120,12 @@ def main() -> int:
     )
     params = init_params(cfg, seed=0)
 
-    corpus = load_corpus(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if args.corpus == "synthetic":
+        corpus = synthetic_corpus(args.corpus_bytes)
+    else:
+        corpus = load_corpus(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     n_eval = args.eval_seqs * args.seq_len
     train_bytes, eval_bytes = corpus[:-n_eval], corpus[-n_eval:]
     print(
@@ -148,9 +182,19 @@ def main() -> int:
 
     ppl_dense = perplexity(params, cfg, eval_seqs)
 
+    # Control: the same dense weights in bf16 (isolates bf16-activation
+    # effects from NF4 quantization proper).
+    import dataclasses
+
+    bf16_cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    bf16_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+    ppl_bf16 = perplexity(bf16_params, bf16_cfg, eval_seqs)
+
     # Quantize every linear through the production pipeline (per-layer,
     # restacked — weights are stored fused exactly as serving uses them).
-    import dataclasses
 
     qcfg = dataclasses.replace(cfg, quantize=True, dtype=jnp.bfloat16)
 
@@ -177,12 +221,17 @@ def main() -> int:
 
     delta = ppl_nf4 - ppl_dense
     report = {
-        "ppl_dense": round(float(ppl_dense), 4),
+        "ppl_dense_fp32": round(float(ppl_dense), 4),
+        "ppl_dense_bf16": round(float(ppl_bf16), 4),
         "ppl_nf4": round(float(ppl_nf4), 4),
         "delta": round(float(delta), 4),
+        "delta_nf4_vs_bf16": round(float(ppl_nf4 - ppl_bf16), 4),
         "gate": args.gate,
         "within_gate": bool(abs(delta) <= args.gate),
         "trained_steps": args.steps,
+        "params_m": round(
+            sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params)) / 1e6, 1
+        ),
         "eval_tokens": len(eval_seqs) * (S - 1),
     }
     print(json.dumps(report))
