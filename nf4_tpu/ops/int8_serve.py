@@ -207,9 +207,25 @@ def int8_matmul(x: jax.Array, p8: PackedInt8, out_dtype=None) -> jax.Array:
     # Kernel path needs bf16 activations (bf16 x bf16 MXU); fp32/f16 ride
     # the XLA path — int8 recode targets the bf16 serving loop.
     if env.backend() == "pallas" and x2.dtype == jnp.bfloat16 and not env.use_interpret():
-        bm = _pick_tile(b_pad, (128, 64, 32, 16, 8))
+        from .matmul import _pick_bm
+
+        # Same batch-tile policy as the NF4 kernel: the in-kernel
+        # convert+scale repeats once per batch tile, so prefill batches
+        # want tall bm; decode batches want wide out tiles (fewer steps).
+        bm = _pick_bm(b_pad)
+        old_b = b_pad
+        b_pad = pad_to(b_pad, bm)
+        if b_pad != old_b:
+            x2 = jnp.pad(x2, ((0, b_pad - old_b), (0, 0)))
         bk = _pick_tile(n_pad, (2048, 1024))
-        bo = _pick_tile(m_pad, (512, 256, 128))
+        if bm <= 32:
+            bo = next(
+                c
+                for c in (1024, 512, 256, 128)
+                if m_pad % c == 0 and bk * c <= 2 * 2**21
+            )
+        else:
+            bo = _pick_tile(m_pad, (512, 256, 128))
         y = _int8_matmul_pallas(
             x2, p8.values, p8.scales, out_dtype, (bm, bk, bo), False
         )
