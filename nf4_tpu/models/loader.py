@@ -168,11 +168,16 @@ _NORM_FIELDS = ("input_norm", "post_attn_norm")
 
 
 def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
-    """Persist quantized params (packed bytes + scales) to an .npz archive.
+    """Persist quantized params (packed bytes + scales) to disk.
 
-    Explicit per-field schema: ``layers.<name>.packed`` / ``.scales`` for
-    quantized linears (stacked over the layer axis), ``layers.<name>`` for
-    norms, top-level ``embed`` / ``final_norm`` / ``lm_head``.
+    Format by extension: ``.safetensors`` writes a safetensors file
+    (zero-copy mmap loading, native bf16, ecosystem-standard); anything
+    else writes an ``.npz`` archive (bf16 stored as uint16 bit patterns).
+
+    Explicit per-field schema either way: ``layers.<name>.packed`` /
+    ``.scales`` for quantized linears (stacked over the layer axis),
+    ``layers.<name>`` for norms, top-level ``embed`` / ``final_norm`` /
+    ``lm_head``.
     """
     from ..nf4.format import PackedNF4
 
@@ -203,76 +208,98 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     if params.layers.qkv_bias is not None:
         arrays["layers.qkv_bias"] = np.asarray(params.layers.qkv_bias)
 
-    # np.savez has no bfloat16 support: store such arrays as uint16 bit
-    # patterns and record the true dtype.
-    dtypes: Dict[str, str] = {}
-    for key, arr in list(arrays.items()):
-        if arr.dtype.names is None and str(arr.dtype) == "bfloat16":
-            arrays[key] = arr.view(np.uint16)
-            dtypes[key] = "bfloat16"
-
     meta = {
         "shapes": shapes,
         "shards": shards,
-        "dtypes": dtypes,
+        "dtypes": {},
         "dtype": str(np.dtype(cfg.dtype).name),
     }
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file(
+            {k: np.ascontiguousarray(v) for k, v in arrays.items()},
+            path,
+            metadata={"nf4_tpu": json.dumps(meta)},
+        )
+        return
+
+    # np.savez has no bfloat16 support: store such arrays as uint16 bit
+    # patterns and record the true dtype.
+    for key, arr in list(arrays.items()):
+        if arr.dtype.names is None and str(arr.dtype) == "bfloat16":
+            arrays[key] = arr.view(np.uint16)
+            meta["dtypes"][key] = "bfloat16"
+
     np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
 def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
-    """Reload params saved by :func:`save_packed`."""
+    """Reload params saved by :func:`save_packed` (.npz or .safetensors)."""
+    import ml_dtypes
+
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(path, framework="np") as f:
+            meta = json.loads(f.metadata()["nf4_tpu"])
+            data = {k: f.get_tensor(k) for k in f.keys()}
+        return _assemble_packed(data, meta, cfg)
+
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        data = {k: data[k] for k in data.files if k != "__meta__"}
+    for key, arr in list(data.items()):
+        if meta["dtypes"].get(key) == "bfloat16":
+            data[key] = arr.view(ml_dtypes.bfloat16)
+    return _assemble_packed(data, meta, cfg)
+
+
+def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
     import jax.numpy as jnp
 
     from ..nf4.format import PackedNF4
     from .llama import LayerParams
 
-    import ml_dtypes
+    def get(key):
+        return jnp.asarray(data[key])
 
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(bytes(data["__meta__"]).decode())
+    # Older checkpoints predate the "shards" meta field; they were only
+    # ever written with shards=1.
+    meta_shards = meta.get("shards", {})
 
-        def get(key):
-            arr = data[key]
-            if meta["dtypes"].get(key) == "bfloat16":
-                arr = arr.view(ml_dtypes.bfloat16)
-            return jnp.asarray(arr)
-
-        # Older checkpoints predate the "shards" meta field; they were only
-        # ever written with shards=1.
-        meta_shards = meta.get("shards", {})
-
-        def packed_weight(key_base, meta_name):
-            packed = get(f"{key_base}.packed")
-            scales = get(f"{key_base}.scales")
-            m, n = meta["shapes"][meta_name]
-            return PackedNF4(
-                packed=packed,
-                scales=scales,
-                shape=(m, n),
-                padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
-                dtype=jnp.dtype(cfg.dtype),
-                shards=int(meta_shards.get(meta_name, 1)),
-            )
-
-        fields = {}
-        for name in _LINEAR_FIELDS:
-            if f"layers.{name}.packed" in data:
-                fields[name] = packed_weight(f"layers.{name}", name)
-            else:
-                fields[name] = get(f"layers.{name}")
-        for name in _NORM_FIELDS:
-            fields[name] = get(f"layers.{name}")
-        fields["qkv_bias"] = (
-            get("layers.qkv_bias") if "layers.qkv_bias" in data else None
+    def packed_weight(key_base, meta_name):
+        packed = get(f"{key_base}.packed")
+        scales = get(f"{key_base}.scales")
+        m, n = meta["shapes"][meta_name]
+        return PackedNF4(
+            packed=packed,
+            scales=scales,
+            shape=(m, n),
+            padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
+            dtype=jnp.dtype(cfg.dtype),
+            shards=int(meta_shards.get(meta_name, 1)),
         )
-        if "lm_head.packed" in data:
-            lm_head = packed_weight("lm_head", "lm_head")
+
+    fields = {}
+    for name in _LINEAR_FIELDS:
+        if f"layers.{name}.packed" in data:
+            fields[name] = packed_weight(f"layers.{name}", name)
         else:
-            lm_head = get("lm_head")
-        return LlamaParams(
-            embed=get("embed"),
-            layers=LayerParams(**fields),
-            final_norm=get("final_norm"),
-            lm_head=lm_head,
-        )
+            fields[name] = get(f"layers.{name}")
+    for name in _NORM_FIELDS:
+        fields[name] = get(f"layers.{name}")
+    fields["qkv_bias"] = (
+        get("layers.qkv_bias") if "layers.qkv_bias" in data else None
+    )
+    if "lm_head.packed" in data:
+        lm_head = packed_weight("lm_head", "lm_head")
+    else:
+        lm_head = get("lm_head")
+    return LlamaParams(
+        embed=get("embed"),
+        layers=LayerParams(**fields),
+        final_norm=get("final_norm"),
+        lm_head=lm_head,
+    )

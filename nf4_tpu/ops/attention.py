@@ -144,41 +144,38 @@ def chunked_attention(
 
     nq = s_pad // q_chunk
     nt = t_pad // kv_chunk
+    qg = q.reshape(b, nkv, group, s_pad, d)
 
-    # [nq, B, KV, G, Sc, D] query tiles / [nt, B, KV, C, D] key-value tiles.
-    q_tiles = (
-        q.reshape(b, nkv, group, nq, q_chunk, d).transpose(3, 0, 1, 2, 4, 5)
-    )
-    pos_tiles = positions.reshape(b, nq, q_chunk).transpose(1, 0, 2)
-    k_tiles = k.reshape(b, nkv, nt, kv_chunk, d).transpose(2, 0, 1, 3, 4)
-    v_tiles = v.reshape(b, nkv, nt, kv_chunk, d).transpose(2, 0, 1, 3, 4)
-    ks_tiles = vs_tiles = None
-    if k_scale is not None:
-        ks_tiles = k_scale.reshape(b, nkv, nt, kv_chunk).transpose(2, 0, 1, 3)
-        vs_tiles = v_scale.reshape(b, nkv, nt, kv_chunk).transpose(2, 0, 1, 3)
-    t0s = jnp.arange(nt, dtype=jnp.int32) * kv_chunk
+    # Both scans are INDEX-based: each chunk is dynamic_sliced from the
+    # full arrays inside the body (and, for KV, inside the cond branch).
+    # Pre-tiling with transposes would copy the entire cache per call, and
+    # would fetch skipped chunks' DMA anyway; this way an irrelevant chunk
+    # costs nothing — decode over a long cache reads only the live prefix.
 
-    def one_q_tile(carry, xs):
-        qt, pos_t = xs  # [B,KV,G,Sc,D], [B,Sc]
+    def one_q_tile(carry, qi):
+        s0 = qi * q_chunk
+        qt = jax.lax.dynamic_slice_in_dim(qg, s0, q_chunk, axis=3)
+        pos_t = jax.lax.dynamic_slice_in_dim(positions, s0, q_chunk, axis=1)
         max_pos = jnp.max(pos_t)  # padded rows carry -1: no effect on max
         min_pos = jnp.min(jnp.where(pos_t < 0, jnp.int32(2**30), pos_t))
 
-        def kv_body(state, kv_xs):
-            if ks_tiles is not None:
-                kc, vc, t0, ksc, vsc = kv_xs
-            else:
-                kc, vc, t0 = kv_xs
-                ksc = vsc = None
+        def kv_body(state, ti):
+            t0 = ti * kv_chunk
 
             def compute(state):
                 m, l, o = state
+                kc = jax.lax.dynamic_slice_in_dim(k, t0, kv_chunk, axis=2)
+                vc = jax.lax.dynamic_slice_in_dim(v, t0, kv_chunk, axis=2)
                 sc = jnp.einsum(
                     "bkgsd,bktd->bkgst",
                     qt,
                     kc.astype(compute_dtype),
                     preferred_element_type=jnp.float32,
                 ) * scale
-                if ksc is not None:
+                if k_scale is not None:
+                    ksc = jax.lax.dynamic_slice_in_dim(
+                        k_scale, t0, kv_chunk, axis=2
+                    )
                     sc = sc * (ksc * (1.0 / 127.0))[:, :, None, None, :]
                 t_ids = t0 + jnp.arange(kv_chunk, dtype=jnp.int32)
                 vis = _visibility(t_ids, pos_t, seq_lens, sliding_window)
@@ -192,7 +189,10 @@ def chunked_attention(
                 alpha = jnp.exp(m - m_new)
                 p = jnp.exp(sc - m_new[..., None])
                 l = l * alpha + p.sum(axis=-1)
-                if vsc is not None:
+                if v_scale is not None:
+                    vsc = jax.lax.dynamic_slice_in_dim(
+                        v_scale, t0, kv_chunk, axis=2
+                    )
                     p = p * (vsc * (1.0 / 127.0))[:, :, None, None, :]
                 o = o * alpha[..., None] + jnp.einsum(
                     "bkgst,bktd->bkgsd",
@@ -212,22 +212,21 @@ def chunked_attention(
                 relevant = relevant & (
                     t0 + kv_chunk - 1 > min_pos - sliding_window
                 )
-            state = jax.lax.cond(relevant, compute, lambda s: s, state)
+            state = jax.lax.cond(relevant, compute, lambda st: st, state)
             return state, None
 
         m0 = jnp.full((b, nkv, group, q_chunk), _NEG, jnp.float32)
         l0 = jnp.zeros((b, nkv, group, q_chunk), jnp.float32)
         o0 = jnp.zeros((b, nkv, group, q_chunk, d), jnp.float32)
-        kv_xs = (
-            (k_tiles, v_tiles, t0s)
-            if ks_tiles is None
-            else (k_tiles, v_tiles, t0s, ks_tiles, vs_tiles)
+        (m, l, o), _ = jax.lax.scan(
+            kv_body, (m0, l0, o0), jnp.arange(nt, dtype=jnp.int32)
         )
-        (m, l, o), _ = jax.lax.scan(kv_body, (m0, l0, o0), kv_xs)
         out = o / jnp.maximum(l, 1e-30)[..., None]
         return carry, out.astype(compute_dtype)
 
-    _, outs = jax.lax.scan(one_q_tile, None, (q_tiles, pos_tiles))
+    _, outs = jax.lax.scan(
+        one_q_tile, None, jnp.arange(nq, dtype=jnp.int32)
+    )
     # [nq, B, KV, G, Sc, D] -> [B, H, S, D]
     out = outs.transpose(1, 2, 3, 0, 4, 5).reshape(b, nh, s_pad, d)
     return out[:, :, :s, :]

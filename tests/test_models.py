@@ -448,3 +448,34 @@ class TestGemmaMechanisms:
     def test_gemma_config_registered(self):
         cfg = configs.get_config("gemma-7b")
         assert cfg.activation == "gelu_tanh" and cfg.rmsnorm_one_plus
+
+
+class TestSafetensorsCheckpoint:
+    def test_safetensors_roundtrip(self, rng, tmp_path):
+        """save_packed/load_packed via the .safetensors format match the
+        .npz format bit-for-bit."""
+        import jax.numpy as jnp
+
+        from nf4_tpu.models import configs
+        from nf4_tpu.models.llama import init_params, prefill
+        from nf4_tpu.models.loader import load_packed, save_packed
+
+        cfg = configs.TINY_TEST
+        params = init_params(cfg, seed=0)
+        p_npz = str(tmp_path / "m.npz")
+        p_st = str(tmp_path / "m.safetensors")
+        save_packed(p_npz, params, cfg)
+        save_packed(p_st, params, cfg)
+        a = load_packed(p_npz, cfg)
+        b = load_packed(p_st, cfg)
+
+        la = jax.tree.leaves(a)
+        lb = jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 8)), jnp.int32)
+        ref, _ = prefill(params, cfg, toks)
+        got, _ = prefill(b, cfg, toks)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
