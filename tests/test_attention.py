@@ -20,7 +20,12 @@ def _mk(rng, b=2, h=8, nkv=4, s=64, t=128, d=32, dtype=jnp.float32):
     return q, k, v
 
 
-def _assert_close(a, b, tol=2e-5):
+def _assert_close(a, b, tol=None):
+    if tol is None:
+        # TPU fp32 einsums run as multi-pass bf16 MXU products at default
+        # precision, so different sum associations differ at ~1e-2 absolute;
+        # CPU computes true fp32 and agrees to ~2e-5.
+        tol = 2e-5 if jax.default_backend() == "cpu" else 1.5e-2
     np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=tol, atol=tol
     )
