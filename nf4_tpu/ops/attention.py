@@ -253,6 +253,16 @@ def attention(
             sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
             q_chunk=min(q_chunk, s), kv_chunk=kv_chunk,
         )
+    if s == 1 and t_max >= 4096:
+        # Decode over a long cache: the chunk-skipping path reads (and
+        # computes) only the live prefix — ~4x faster than the full-T
+        # naive sweep early in a sequence, ties at full context (v5e).
+        kc = min(2048, max(512, t_max // 8))
+        return chunked_attention(
+            q, k, v, positions, seq_lens, scale=scale,
+            sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
+            q_chunk=1, kv_chunk=kc,
+        )
     return naive_attention(
         q, k, v, positions, seq_lens, scale=scale,
         sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
