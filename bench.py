@@ -98,7 +98,9 @@ def main():
         fused_runs.append((m, n, jax.jit(step), xb, wbytes))
 
     best = None
-    for pass_idx in range(2):
+    # 4 interleaved passes: the shared chip drifts up to ~2x on tens of
+    # seconds; the best SAME-PASS fraction rides out congestion windows.
+    for pass_idx in range(4):
         dt = marginal_chain(mm, x0)
         roofline_gbps = wd.size * 2 / dt / 1e9
         log(f"[pass {pass_idx}] dense-matmul roofline: {dt*1e3:.3f} ms -> {roofline_gbps:.0f} GB/s")
