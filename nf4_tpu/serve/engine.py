@@ -148,6 +148,11 @@ class Engine:
 
     # -- jitted pieces ------------------------------------------------------
 
+    # Prompts longer than this prefill in segments inside the jitted call,
+    # bounding activation memory to O(G * segment) — an 8k-token prompt at
+    # Llama-3-8B would otherwise allocate multi-GB fused-MLP activations.
+    PREFILL_SEGMENT = 2048
+
     @staticmethod
     def _prefill_impl(params, tokens, lengths, cache, slots, *, cfg, bucket):
         """Prefill a GROUP of sequences (each padded to `bucket`) into cache
@@ -156,15 +161,47 @@ class Engine:
         tokens [G, bucket], lengths [G], slots [G] int32.  The cache is an
         opaque pytree (bf16 k/v, or int8 k/v plus scale leaves when
         ``cfg.kv_quant``); slot rows are gathered/scattered on the batch
-        axis so one jitted call serves any same-bucket group."""
+        axis so one jitted call serves any same-bucket group.  Buckets
+        above PREFILL_SEGMENT run as a ``lax.scan`` over segments (chunked
+        prefill); each sequence's last-token logits are picked from the
+        segment containing its last token."""
         g = tokens.shape[0]
-        positions = jnp.broadcast_to(
-            jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
-        )
         slot_cache = jax.tree.map(lambda a: a[:, slots], cache)
-        last, new_slot_cache = forward(
-            params, cfg, tokens, slot_cache, positions, lengths, last_only=True
-        )
+
+        seg = Engine.PREFILL_SEGMENT
+        if bucket <= seg:
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
+            )
+            last, new_slot_cache = forward(
+                params, cfg, tokens, slot_cache, positions, lengths,
+                last_only=True,
+            )
+        else:
+            nseg = -(-bucket // seg)
+            toks_pad = jnp.pad(tokens, ((0, 0), (0, nseg * seg - bucket)))
+
+            def seg_body(carry_cache, si):
+                t0 = si * seg
+                seg_toks = jax.lax.dynamic_slice_in_dim(
+                    toks_pad, t0, seg, axis=1
+                )
+                positions = jnp.broadcast_to(
+                    t0 + jnp.arange(seg, dtype=jnp.int32), (g, seg)
+                )
+                seg_lens = jnp.minimum(lengths, t0 + seg)
+                logits_seg, carry_cache = forward(
+                    params, cfg, seg_toks, carry_cache, positions, seg_lens,
+                    last_only=True,
+                )
+                return carry_cache, logits_seg
+
+            new_slot_cache, seg_logits = jax.lax.scan(
+                seg_body, slot_cache, jnp.arange(nseg, dtype=jnp.int32)
+            )
+            seg_idx = jnp.clip((lengths - 1) // seg, 0, nseg - 1)
+            last = seg_logits[seg_idx, jnp.arange(g)]
+
         cache = jax.tree.map(
             lambda full, new: full.at[:, slots].set(new), cache, new_slot_cache
         )

@@ -143,6 +143,18 @@ def dequant_check():
         # (run_diagnostics.py:137-146).
         check(ratio > 0.1, f"pallas within 10x of XLA reference ({ratio:.2f}x speedup)")
 
+    # bf16 byte-table fast path: same decode as the fused matmul kernel;
+    # contract is <= 1.1e-2 relative of the oracle (double bf16 rounding).
+    from nf4_tpu import dequantize_fast
+
+    got = np.asarray(dequantize_fast(pw)).astype(np.float32)
+    rel = np.abs(got - oracle) / (np.abs(oracle) + 1e-12)
+    rel[oracle == 0] = np.abs(got[oracle == 0])
+    check(
+        bool(rel.max() <= 1.1e-2),
+        f"fast byte-table path within 1.1e-2 of oracle (max {rel.max():.2e})",
+    )
+
 
 def fallback_check():
     section("Backend fallback (NF4TPU_BACKEND=jnp)")

@@ -297,3 +297,19 @@ class TestTPEngine:
         res = eng.generate(prompts, max_new_tokens=3)
         assert len(res) == 5
         assert all(len(r.tokens) == 3 for r in res)
+
+
+class TestSegmentedPrefill:
+    def test_long_prompts_match_unsegmented(self, engine_setup, monkeypatch):
+        """Prompts longer than PREFILL_SEGMENT prefill as a scan over
+        segments inside the jitted call; generation must be identical."""
+        cfg, params = engine_setup
+        prompts = [list(range(3, 40)), list(range(5, 30)), [7, 8, 9]]
+
+        ref = Engine(params, cfg, batch_size=2, eos_token=-1)
+        want = [r.tokens for r in ref.generate(prompts, max_new_tokens=4)]
+
+        monkeypatch.setattr(Engine, "PREFILL_SEGMENT", 16)
+        seg = Engine(params, cfg, batch_size=2, eos_token=-1)
+        got = [r.tokens for r in seg.generate(prompts, max_new_tokens=4)]
+        assert got == want
