@@ -465,6 +465,9 @@ def _layer_forward(
         sliding_window=cfg.sliding_window,
         k_scale=layer_cache.k_scale,
         v_scale=layer_cache.v_scale,
+        # Every position tensor this package builds is offset + arange per
+        # row (prefill, chunked prefill, engine buckets, decode, eval).
+        contiguous_positions=True,
     )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,

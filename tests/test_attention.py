@@ -193,3 +193,74 @@ class TestChunkedPrefill:
             np.asarray(full_cache.k[:, :, :, :48], np.float32),
             rtol=2e-2, atol=2e-2,
         )
+
+
+class TestFlashKernel:
+    """Pallas flash kernel vs the XLA chunked reference (interpret mode on
+    CPU; the real-hardware path is covered by NF4TPU_TEST_TPU=1 runs and
+    the 8k capability proof)."""
+
+    def _run(self, rng, dtype=jnp.bfloat16, window=None, int8=False):
+        from nf4_tpu.ops.attention import flash_attention
+
+        b, h, nkv, s, t, d = 2, 4, 2, 256, 512, 128
+        q = jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+        if int8:
+            k = jnp.asarray(rng.integers(-127, 128, size=(b, nkv, t, d)), jnp.int8)
+            v = jnp.asarray(rng.integers(-127, 128, size=(b, nkv, t, d)), jnp.int8)
+            ks = jnp.asarray(rng.uniform(0.5, 2.0, (b, nkv, t)), jnp.float32)
+            vs = jnp.asarray(rng.uniform(0.5, 2.0, (b, nkv, t)), jnp.float32)
+        else:
+            k = jnp.asarray(rng.standard_normal((b, nkv, t, d)), dtype)
+            v = jnp.asarray(rng.standard_normal((b, nkv, t, d)), dtype)
+            ks = vs = None
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        seq_lens = jnp.asarray([s, s - 100], jnp.int32)
+        kw = dict(scale=d**-0.5, sliding_window=window, k_scale=ks, v_scale=vs)
+        want = chunked_attention(
+            q, k, v, positions, seq_lens, q_chunk=128, kv_chunk=128, **kw
+        )
+        got = flash_attention(
+            q, k, v, positions, seq_lens, sc=128, c=128, interpret=True, **kw
+        )
+        w = np.asarray(want, np.float32)
+        g = np.asarray(got, np.float32)
+        # compare only rows visible under each sequence's length
+        np.testing.assert_allclose(g[0], w[0], rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            g[1, :, : s - 100], w[1, :, : s - 100], rtol=2e-2, atol=2e-2
+        )
+
+    def test_causal(self, rng):
+        self._run(rng)
+
+    def test_sliding_window(self, rng):
+        self._run(rng, window=64)
+
+    def test_int8_kv(self, rng):
+        self._run(rng, int8=True)
+
+    def test_offset_positions(self, rng):
+        """Chunked-prefill segments: positions start at an offset."""
+        from nf4_tpu.ops.attention import flash_attention
+
+        b, h, nkv, s, t, d = 1, 4, 2, 256, 512, 128
+        q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, nkv, t, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, nkv, t, d)), jnp.bfloat16)
+        positions = jnp.broadcast_to(
+            128 + jnp.arange(s, dtype=jnp.int32), (b, s)
+        )
+        seq_lens = jnp.full((b,), 128 + s, jnp.int32)
+        want = chunked_attention(
+            q, k, v, positions, seq_lens, scale=d**-0.5,
+            q_chunk=128, kv_chunk=128,
+        )
+        got = flash_attention(
+            q, k, v, positions, seq_lens, scale=d**-0.5,
+            sc=128, c=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
