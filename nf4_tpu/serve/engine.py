@@ -213,18 +213,47 @@ class Engine:
     ):
         """TP variant of :meth:`_prefill_impl`: the forward runs shard_mapped
         over the mesh; the slot gather/scatter stays outside (plain XLA ops
-        on head-sharded cache leaves)."""
+        on head-sharded cache leaves).  Long buckets segment exactly like
+        the single-device path."""
         from ..parallel.tp import tp_forward
 
         g = tokens.shape[0]
-        positions = jnp.broadcast_to(
-            jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
-        )
         slot_cache = jax.tree.map(lambda a: a[:, slots], cache)
-        last, new_slot_cache = tp_forward(
-            params, cfg, mesh, tokens, slot_cache, positions, lengths,
-            axis=axis, last_only=True,
-        )
+
+        seg = Engine.PREFILL_SEGMENT
+        if bucket <= seg:
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
+            )
+            last, new_slot_cache = tp_forward(
+                params, cfg, mesh, tokens, slot_cache, positions, lengths,
+                axis=axis, last_only=True,
+            )
+        else:
+            nseg = -(-bucket // seg)
+            toks_pad = jnp.pad(tokens, ((0, 0), (0, nseg * seg - bucket)))
+
+            def seg_body(carry_cache, si):
+                t0 = si * seg
+                seg_toks = jax.lax.dynamic_slice_in_dim(
+                    toks_pad, t0, seg, axis=1
+                )
+                positions = jnp.broadcast_to(
+                    t0 + jnp.arange(seg, dtype=jnp.int32), (g, seg)
+                )
+                seg_lens = jnp.minimum(lengths, t0 + seg)
+                logits_seg, carry_cache = tp_forward(
+                    params, cfg, mesh, seg_toks, carry_cache, positions,
+                    seg_lens, axis=axis, last_only=True,
+                )
+                return carry_cache, logits_seg
+
+            new_slot_cache, seg_logits = jax.lax.scan(
+                seg_body, slot_cache, jnp.arange(nseg, dtype=jnp.int32)
+            )
+            seg_idx = jnp.clip((lengths - 1) // seg, 0, nseg - 1)
+            last = seg_logits[seg_idx, jnp.arange(g)]
+
         cache = jax.tree.map(
             lambda full, new: full.at[:, slots].set(new), cache, new_slot_cache
         )

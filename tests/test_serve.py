@@ -313,3 +313,26 @@ class TestSegmentedPrefill:
         seg = Engine(params, cfg, batch_size=2, eos_token=-1)
         got = [r.tokens for r in seg.generate(prompts, max_new_tokens=4)]
         assert got == want
+
+
+class TestTPSegmentedPrefill:
+    def test_tp_segmented_prefill(self, monkeypatch):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from nf4_tpu.models.llama import LlamaConfig
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=128,
+            max_seq_len=32, tp_shards=4,
+        )
+        mesh = make_mesh(tp=4, dp=2)
+        params = init_params(cfg, seed=0)
+        prompts = [list(range(3, 25))]
+        ref = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        want = [r.tokens for r in ref.generate(prompts, max_new_tokens=3)]
+        monkeypatch.setattr(Engine, "PREFILL_SEGMENT", 16)
+        seg = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        got = [r.tokens for r in seg.generate(prompts, max_new_tokens=3)]
+        assert got == want
