@@ -68,6 +68,36 @@ def _mask_record(mask, toks, active):
     return jnp.where(active[:, None], hit, mask)
 
 
+def _decode_multi_impl(
+    params, token, cache, positions, gen_mask, keys, *, step, sampling, n_steps
+):
+    """Run ``n_steps`` decode+sample iterations on-device (one host sync per
+    chunk instead of per token — the host readback dominates small-model
+    decode).  All slots are assumed active; returns (tokens [n, B],
+    logprobs [n, B], cache, positions, gen_mask)."""
+    from .sampling import sample
+
+    def body(carry, key_i):
+        tok, cache, pos, mask = carry
+        logits, cache = step(params, token=tok, cache=cache, positions=pos)
+        lg = logits.astype(jnp.float32)
+        if sampling.temperature == 0.0:
+            nxt = sample(lg, sampling, generated_mask=mask)
+        else:
+            nxt = sample(lg, sampling, key_i, generated_mask=mask)
+        lp = jax.nn.log_softmax(lg, axis=-1)[
+            jnp.arange(lg.shape[0]), nxt
+        ]
+        if mask is not None:
+            mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
+        return (nxt, cache, pos + 1, mask), (nxt, lp)
+
+    (tok, cache, pos, mask), (toks, lps) = jax.lax.scan(
+        body, (token, cache, positions, gen_mask), keys, length=n_steps
+    )
+    return toks, lps, cache, pos, mask
+
+
 @jax.jit
 def _mask_reset(mask, slots, toks):
     """Clear rows ``slots`` and record their first generated tokens."""
@@ -101,6 +131,7 @@ class Engine:
         seed: int = 0,
         mesh=None,
         tp_axis: str = "tp",
+        decode_chunk: int = 8,
     ):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -108,6 +139,11 @@ class Engine:
         self.sampling = sampling
         self._key = jax.random.PRNGKey(seed)
         self.mesh = mesh
+        # Decode steps per host sync when all slots are busy (1 disables).
+        # Stochastic sampling consumes a different (but equally valid) key
+        # sequence than single-stepping; greedy output is identical.
+        self.decode_chunk = decode_chunk
+        self._decode_multi_cache = {}
 
         if mesh is not None:
             from ..parallel.tp import (
@@ -387,6 +423,54 @@ class Engine:
             if not any(r != -1 for r in slot_req):
                 break
 
+            # Multi-step fast path: when every slot is busy and has >= 2
+            # steps of budget, run a chunk of decode+sample steps entirely
+            # on-device — ONE host sync per chunk instead of per token (the
+            # readback dominates small-model decode latency).  Tokens after
+            # a stop within the chunk are discarded host-side.
+            if self.decode_chunk > 1 and all(r != -1 for r in slot_req):
+                rem = min(
+                    max_new_tokens - len(slot_generated[s]) for s in range(B)
+                )
+                ctx_room = int(cfg.max_seq_len - 1 - slot_pos.max())
+                # Fixed chunk size only (each distinct n compiles its own
+                # program); the tail of a budget single-steps.
+                n = self.decode_chunk
+                if rem >= n and ctx_room >= n:
+                    if sampling.temperature != 0.0:
+                        self._key, sub = jax.random.split(self._key)
+                        keys = jax.random.split(sub, n)
+                    else:
+                        keys = jax.random.split(jax.random.PRNGKey(0), n)
+                    toks_d, lps_d, cache, _pos_d, gen_mask = self._decode_multi(
+                        sampling, n
+                    )(
+                        self.params,
+                        jnp.asarray(cur_token),
+                        cache,
+                        jnp.asarray(slot_pos),
+                        gen_mask,
+                        keys,
+                    )
+                    toks = np.asarray(toks_d)  # [n, B]
+                    if return_logprobs:
+                        lps = np.asarray(lps_d)
+                    slot_pos += n
+                    for s in range(B):
+                        for i in range(n):
+                            t = int(toks[i, s])
+                            slot_generated[s].append(t)
+                            if return_logprobs:
+                                slot_logprobs[s].append(float(lps[i, s]))
+                            if on_token is not None and t not in stops:
+                                on_token(slot_req[s], t)
+                            if t in stops or (
+                                len(slot_generated[s]) >= max_new_tokens
+                            ):
+                                break
+                        cur_token[s] = int(toks[n - 1, s])
+                    continue
+
             # One decode step for the whole batch (idle slots step harmlessly
             # at position 0 and are ignored).
             logits, cache = self._decode(
@@ -415,6 +499,21 @@ class Engine:
                     on_token(slot_req[s], int(next_tok[s]))
 
         return [r for r in results if r is not None]
+
+    def _decode_multi(self, sampling: SamplingParams, n_steps: int):
+        key = (sampling, n_steps)
+        fn = self._decode_multi_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    _decode_multi_impl,
+                    step=self._decode,
+                    sampling=sampling,
+                    n_steps=n_steps,
+                )
+            )
+            self._decode_multi_cache[key] = fn
+        return fn
 
     def _sample(
         self,

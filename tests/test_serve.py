@@ -336,3 +336,41 @@ class TestTPSegmentedPrefill:
         seg = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
         got = [r.tokens for r in seg.generate(prompts, max_new_tokens=3)]
         assert got == want
+
+
+class TestMultiStepDecode:
+    def test_chunked_equals_single_step(self, engine_setup):
+        cfg, params = engine_setup
+        prompts = [[3, 5, 7], [11, 13]]
+        single = Engine(params, cfg, batch_size=2, eos_token=-1, decode_chunk=1)
+        want = [r.tokens for r in single.generate(prompts, max_new_tokens=9)]
+        multi = Engine(params, cfg, batch_size=2, eos_token=-1, decode_chunk=4)
+        got = [r.tokens for r in multi.generate(prompts, max_new_tokens=9)]
+        assert got == want
+
+    def test_stop_token_mid_chunk(self, engine_setup):
+        """A stop token landing inside a device-side chunk must truncate the
+        output exactly as single-stepping would."""
+        cfg, params = engine_setup
+        single = Engine(params, cfg, batch_size=1, eos_token=-1, decode_chunk=1)
+        base = single.generate([[3, 5, 7]], max_new_tokens=8)[0]
+        assert len(base.tokens) >= 3
+        stop = base.tokens[2]  # lands mid-chunk for decode_chunk=8
+
+        want = single.generate(
+            [[3, 5, 7]], max_new_tokens=8, stop_tokens=[stop]
+        )[0]
+        multi = Engine(params, cfg, batch_size=1, eos_token=-1, decode_chunk=8)
+        got = multi.generate([[3, 5, 7]], max_new_tokens=8, stop_tokens=[stop])[0]
+        assert got.finished == want.finished
+        assert got.tokens == want.tokens
+
+    def test_streaming_order_preserved(self, engine_setup):
+        cfg, params = engine_setup
+        eng = Engine(params, cfg, batch_size=1, eos_token=-1, decode_chunk=4)
+        streamed = []
+        res = eng.generate(
+            [[3, 5, 7]], max_new_tokens=6,
+            on_token=lambda r, t: streamed.append(t),
+        )[0]
+        assert streamed == res.tokens
