@@ -215,6 +215,10 @@ def main():
                     "tp-device mesh (requires that many devices; on the "
                     "CPU backend set "
                     "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    ap.add_argument("--engine", action="store_true",
+                    help="also measure END-TO-END engine throughput "
+                    "(continuous batching + sampling + host loop), not just "
+                    "the raw jitted decode chain")
     ap.add_argument("--synthetic", action="store_true",
                     help="build packed weights with random codes directly on "
                     "device (seconds instead of minutes; identical compute/"
@@ -275,6 +279,24 @@ def main():
             f"{tps:8.1f} tok/s ({tps / n_chips:.1f} tok/s/chip, "
             f"{eff:.0f} GB/s aggregate weight stream)"
         )
+
+    if args.engine and mesh is None:
+        from nf4_tpu.serve.engine import Engine
+
+        print("\n--- engine end-to-end (continuous batching) ---")
+        for b in (int(s) for s in args.batch_sizes.split(",")):
+            eng = Engine(params, cfg, batch_size=b, eos_token=-1)
+            prompts = [[1 + i, 2 + i, 3 + i] for i in range(b)]
+            eng.generate(prompts, max_new_tokens=96)  # warm/compile
+            t0 = time.perf_counter()
+            res = eng.generate(prompts, max_new_tokens=96)
+            dt = time.perf_counter() - t0
+            ntok = sum(len(r.tokens) for r in res)
+            print(
+                f"  batch {b:3d}: {ntok} tokens in {dt:.2f}s -> "
+                f"{ntok / dt:8.1f} tok/s engine-level "
+                f"(decode_chunk={eng.decode_chunk})"
+            )
 
     print("\n--- prefill ---")
     b = 1
