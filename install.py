@@ -46,7 +46,12 @@ def detect_platform() -> str:
 def run_install() -> bool:
     print("\n=== Installing (pip install -e .) ===")
     proc = subprocess.run(
-        [sys.executable, "-m", "pip", "install", "-e", ".", "--no-deps"],
+        # --no-build-isolation: use the host's setuptools instead of
+        # fetching build deps from PyPI — TPU pods are often air-gapped.
+        [
+            sys.executable, "-m", "pip", "install", "-e", ".",
+            "--no-deps", "--no-build-isolation",
+        ],
         capture_output=True,
         text=True,
     )
