@@ -219,12 +219,20 @@ def main() -> int:
     )
     ppl_nf4 = perplexity(qparams, qcfg, eval_seqs)
 
+    # The int8-recode serving representation (values stay on the NF4 grid
+    # up to codebook rounding) — the production decode fast path.
+    from nf4_tpu.models.llama import recode_params_int8
+
+    ppl_int8 = perplexity(recode_params_int8(qparams), qcfg, eval_seqs)
+
     delta = ppl_nf4 - ppl_dense
     report = {
         "ppl_dense_fp32": round(float(ppl_dense), 4),
         "ppl_dense_bf16": round(float(ppl_bf16), 4),
         "ppl_nf4": round(float(ppl_nf4), 4),
+        "ppl_nf4_int8_recode": round(float(ppl_int8), 4),
         "delta": round(float(delta), 4),
+        "delta_int8_recode": round(float(ppl_int8 - ppl_dense), 4),
         "delta_nf4_vs_bf16": round(float(ppl_nf4 - ppl_bf16), 4),
         "gate": args.gate,
         "within_gate": bool(abs(delta) <= args.gate),
