@@ -354,8 +354,29 @@ def flash_attention(
     b, h, s, d = q.shape
     nkv, t = k.shape[1], k.shape[2]
     g = h // nkv
-    nq, nt = s // sc, t // c
     int8_kv = k_scale is not None
+
+    # Non-multiple S: pad queries up to a tile multiple.  Padded rows get
+    # positions pos0 + (s..s_pad) — causally consistent garbage rows whose
+    # outputs are sliced off; only positions[:, 0] is ever read, so the
+    # positions array itself needs no padding.
+    s_orig = s
+    s_pad = -(-s // sc) * sc
+    if s_pad != s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        s = s_pad
+    # Non-multiple T: pad the KV cache up to a tile multiple.  Padded slots
+    # have t_ids >= t >= seq_len, so the visibility mask kills them.
+    t_pad = -(-t // c) * c
+    if t_pad != t:
+        pad_kv = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        k = jnp.pad(k, pad_kv)
+        v = jnp.pad(v, pad_kv)
+        if int8_kv:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, t_pad - t)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, t_pad - t)))
+        t = t_pad
+    nq, nt = s // sc, t // c
 
     q6 = (
         q.reshape(b, nkv, g, nq, sc, d)
@@ -411,7 +432,7 @@ def flash_attention(
     return (
         out.reshape(b, nkv, nq, g, sc, d)
         .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, h, s, d)
+        .reshape(b, h, s, d)[:, :, :s_orig, :]
     )
 
 
@@ -426,14 +447,17 @@ def _flash_eligible(q, k, s, t_max, d) -> bool:
 
     from ..utils import env
 
+    # d=64 runs the kernel on half-filled 128-lane vregs (TinyLlama-class
+    # heads; measured still well ahead of the XLA chunked path).  Non-tile-
+    # multiple S/T are padded inside flash_attention, so the only shape
+    # requirements left are a supported head_dim and enough rows to tile.
     return (
         env.backend() == "pallas"
         and not env.use_interpret()
         and _jax.default_backend() == "tpu"
         and q.dtype == jnp.bfloat16
-        and d % 128 == 0
-        and s % 256 == 0
-        and t_max % 512 == 0
+        and (d % 128 == 0 or d == 64)
+        and s >= 256
     )
 
 
@@ -454,7 +478,7 @@ def attention(
     score_elems = b * nh * s * t_max
     if s > 1 and score_elems >= _CHUNKED_MIN_SCORE_ELEMS:
         if contiguous_positions and _flash_eligible(q, k, s, t_max, d):
-            sc = 512 if s % 512 == 0 else 256
+            sc = 512 if s >= 512 else 256
             return flash_attention(
                 q, k, v, positions, seq_lens, scale=scale,
                 sliding_window=sliding_window,
