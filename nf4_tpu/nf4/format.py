@@ -66,6 +66,9 @@ __all__ = [
     "quantize_for_tpu",
     "to_quant_state",
     "pad_to",
+    "interleave_perm",
+    "permute_out_features",
+    "rechunk_shards",
 ]
 
 
@@ -220,6 +223,93 @@ def chunk_views(pw: PackedNF4) -> list:
             )
         )
     return views
+
+
+def interleave_perm(sizes, groups: int) -> np.ndarray:
+    """Out-feature permutation taking the ``groups=1`` fused row order
+    (``[w0; w1; ...]``) to the per-shard-interleaved order of
+    :func:`models.llama.fuse_rows`: position ``p`` of the result holds the
+    groups=1 index that shard-interleaved row ``p`` corresponds to."""
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    out = []
+    for s in range(groups):
+        for i, mi in enumerate(sizes):
+            assert mi % groups == 0, f"fused size {mi} % groups {groups} != 0"
+            mg = mi // groups
+            out.append(np.arange(offs[i] + s * mg, offs[i] + (s + 1) * mg))
+    return np.concatenate(out)
+
+
+def permute_out_features(pw: PackedNF4, perm) -> PackedNF4:
+    """Reorder the logical out-features of a packed weight by pure indexing.
+
+    ``perm[p]`` = source out-feature for new position ``p``.  Out-features
+    live on the lane (last) axis of both ``packed`` and ``scales`` and each
+    lane column is self-contained (NF4 blocks run along K), so this is an
+    exact, dequant-free operation; padding columns stay in place.  Works on
+    stacked ([L, ...]) weights too.
+    """
+    m, n = pw.shape
+    m_pad, _ = pw.padded_shape
+    perm = np.asarray(perm)
+    assert perm.shape == (m,) and sorted(perm.tolist()) == list(range(m))
+    idx = jnp.asarray(np.concatenate([perm, np.arange(m, m_pad)]))
+    return pw.replace(
+        packed=jnp.take(pw.packed, idx, axis=-1),
+        scales=jnp.take(pw.scales, idx, axis=-1),
+    )
+
+
+def rechunk_shards(pw: PackedNF4, shards: int) -> PackedNF4:
+    """Re-pack the K dim of a packed weight into ``shards`` independent
+    chunks by pure row indexing (no dequantization).
+
+    Exact inverse-free path between any two shard counts: real byte/scale
+    rows are gathered out of the old per-chunk padding and re-padded per new
+    chunk.  Bit-matches :func:`pack_for_tpu` called with ``shards`` because
+    packing is per-row independent and chunk boundaries fall on whole
+    64-value blocks.
+    """
+    if pw.shards == shards:
+        return pw
+    m, n = pw.shape
+    m_pad, n_pad = pw.padded_shape
+    assert n % (shards * NF4_BLOCK) == 0, (
+        f"in_features {n} must split into {shards} chunks of whole 64-blocks"
+    )
+    packed = np.asarray(pw.packed)
+    scales = np.asarray(pw.scales)
+    g0 = pw.shards
+    n_c0, n_c0_pad = n // g0, n_pad // g0
+
+    def gather(a, unit):
+        stride, real = n_c0_pad // unit, n_c0 // unit
+        parts = [
+            a[..., s * stride : s * stride + real, :] for s in range(g0)
+        ]
+        return np.concatenate(parts, axis=-2)
+
+    pr, sr = gather(packed, 2), gather(scales, NF4_BLOCK)
+    n_c1 = n // shards
+    n_c1_pad = pad_to(n_c1, 1024)
+
+    def chunk(a, unit):
+        real, padded = n_c1 // unit, n_c1_pad // unit
+        parts = []
+        for s in range(shards):
+            c = a[..., s * real : (s + 1) * real, :]
+            if padded != real:
+                pad_shape = (*c.shape[:-2], padded - real, c.shape[-1])
+                c = np.concatenate([c, np.zeros(pad_shape, c.dtype)], axis=-2)
+            parts.append(c)
+        return np.concatenate(parts, axis=-2)
+
+    return pw.replace(
+        packed=jnp.asarray(chunk(pr, 2)),
+        scales=jnp.asarray(chunk(sr, NF4_BLOCK)),
+        padded_shape=(m_pad, n_c1_pad * shards),
+        shards=shards,
+    )
 
 
 def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:

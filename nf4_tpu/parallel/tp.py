@@ -27,6 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import (
@@ -48,6 +49,7 @@ __all__ = [
     "tp_forward",
     "tp_prefill",
     "tp_decode_step",
+    "repack_tp",
 ]
 
 _COL_PARALLEL = ("wqkv", "w_gateup")
@@ -198,6 +200,80 @@ def init_sharded_kv_cache(
         cache,
         specs,
     )
+
+
+def repack_tp(params: LlamaParams, cfg: LlamaConfig, tp: int):
+    """Re-pack a quantized checkpoint for a different TP degree by pure
+    index manipulation — no dequantization, no requantization.
+
+    Removes the operational constraint that TP degree is baked at quantize
+    time (``tp_local_config`` asserts ``cfg.tp_shards == mesh tp``): a
+    checkpoint packed for ``tp_shards=1`` can be served at ``tp=N`` after
+    ``params, cfg = repack_tp(params, cfg, N)``.  Exact: the result is
+    bit-identical to quantizing with ``tp_shards=tp`` in the first place —
+    column-parallel fused weights are a lane-column permutation
+    (``nf4.format.permute_out_features``), row-parallel weights a K-row
+    re-chunking (``nf4.format.rechunk_shards``); per-value bytes and scales
+    never change.
+
+    Returns ``(params, cfg)`` with ``cfg.tp_shards = tp``.
+    """
+    from ..nf4.format import interleave_perm, permute_out_features, rechunk_shards
+    from ..ops.int8_serve import PackedInt8
+
+    g0 = cfg.tp_shards
+    if g0 == tp:
+        return params, cfg
+    q_dim = cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    sizes = {
+        "wqkv": (q_dim, kv_dim, kv_dim),
+        "w_gateup": (cfg.intermediate_size, cfg.intermediate_size),
+    }
+
+    def col_perm(field):
+        """Permutation old-interleave -> new-interleave in old positions."""
+        p_old = interleave_perm(sizes[field], g0)  # new pos -> tp1 index
+        p_new = interleave_perm(sizes[field], tp)
+        inv_old = np.argsort(p_old)  # tp1 index -> old pos
+        return inv_old[p_new]  # new pos -> old pos
+
+    def repack_col(w, field):
+        if isinstance(w, PackedInt8):
+            raise TypeError(
+                "repack_tp operates on NF4 checkpoints; recode to int8 "
+                "AFTER repacking (recode_params_int8)"
+            )
+        perm = col_perm(field)
+        if isinstance(w, PackedNF4):
+            return permute_out_features(w, perm)
+        return jnp.take(w, jnp.asarray(perm), axis=-2)  # dense [L, m, n]
+
+    def repack_row(w):
+        if isinstance(w, PackedInt8):
+            raise TypeError(
+                "repack_tp operates on NF4 checkpoints; recode to int8 "
+                "AFTER repacking (recode_params_int8)"
+            )
+        if isinstance(w, PackedNF4):
+            return rechunk_shards(w, tp)
+        return w  # dense row-parallel weights shard without re-chunking
+
+    lp = params.layers
+    fields = {
+        "wqkv": repack_col(lp.wqkv, "wqkv"),
+        "w_gateup": repack_col(lp.w_gateup, "w_gateup"),
+        "wo": repack_row(lp.wo),
+        "w_down": repack_row(lp.w_down),
+    }
+    if lp.qkv_bias is not None:
+        fields["qkv_bias"] = jnp.take(
+            lp.qkv_bias, jnp.asarray(col_perm("wqkv")), axis=-1
+        )
+    # lm_head / embed are single-component (vocab slices shard contiguously
+    # at any degree) — no permutation needed.
+    new_cfg = dataclasses.replace(cfg, tp_shards=tp)
+    return params.replace(layers=lp.replace(**fields)), new_cfg
 
 
 # ---------------------------------------------------------------------------
