@@ -384,6 +384,58 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     )
 
 
+def _col_chunks(w: Weight, nchunks: int):
+    """Static lane-dim (out-feature) chunks of a weight, or None if the
+    padded out dim does not split into 128-lane-aligned chunks.
+
+    Chunk logical shape = the padded chunk (padding columns dequantize to
+    exact 0), so concatenating chunk outputs reproduces the padded output.
+    """
+    from ..ops.int8_serve import PackedInt8
+
+    if isinstance(w, (PackedNF4, PackedInt8)):
+        m_pad, n_pad = w.padded_shape
+        if m_pad % nchunks or (m_pad // nchunks) % 128:
+            return None
+        mc = m_pad // nchunks
+        out = []
+        for c in range(nchunks):
+            sl = (Ellipsis, slice(c * mc, (c + 1) * mc))
+            meta = dict(shape=(mc, w.shape[1]), padded_shape=(mc, n_pad))
+            if isinstance(w, PackedInt8):
+                out.append(w.replace(values=w.values[sl], scales=w.scales[sl], **meta))
+            else:
+                out.append(w.replace(packed=w.packed[sl], scales=w.scales[sl], **meta))
+        return out
+    m = w.shape[-2]
+    if m % nchunks:
+        return None
+    mc = m // nchunks
+    return [w[..., c * mc : (c + 1) * mc, :] for c in range(nchunks)]
+
+
+def _reduced_matmul(x, w: Weight, reduce_fn, out_dtype=None):
+    """Row-parallel projection + reduction, optionally as a COLLECTIVE
+    MATMUL: with ``NF4TPU_COLLECTIVE_MATMUL=N`` the output columns are
+    computed in N chunks, each followed by its own ``reduce_fn`` (partial
+    psum) — program structure that lets XLA overlap chunk c's collective
+    with chunk c+1's matmul over ICI (the done-properly version of the
+    reference's 3-stream trick, reference ``benchmark.py:68-84``).  Math is
+    unchanged: every output element sees the identical psum."""
+    from ..utils import env
+
+    nchunks = env.collective_chunks()
+    if nchunks > 1:
+        chunks = _col_chunks(w, nchunks)
+        if chunks is not None:
+            m = w.shape[-2] if not hasattr(w, "out_features") else w.out_features
+            parts = [
+                reduce_fn(_matmul(x, wc, out_dtype=out_dtype)) for wc in chunks
+            ]
+            return jnp.concatenate(parts, axis=-1)[..., :m]
+    return reduce_fn(_matmul(x, w, out_dtype=out_dtype))
+
+
 def _quantize_kv(t):
     """[B,KV,S,D] -> (int8 values, fp32 per-token absmax scales [B,KV,S])."""
     tf = t.astype(jnp.float32)
@@ -472,7 +524,7 @@ def _layer_forward(
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
     # cast once after the reduction (matches single-device numerics).
-    x = x + reduce_fn(_matmul(attn, lp.wo, out_dtype=jnp.float32)).astype(x.dtype)
+    x = x + _reduced_matmul(attn, lp.wo, reduce_fn, out_dtype=jnp.float32).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
@@ -490,7 +542,7 @@ def _layer_forward(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
-    x = x + reduce_fn(_matmul(h, lp.w_down, out_dtype=jnp.float32)).astype(x.dtype)
+    x = x + _reduced_matmul(h, lp.w_down, reduce_fn, out_dtype=jnp.float32).astype(x.dtype)
     return x, layer_cache
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "on_tpu",
     "matmul_tile_override",
     "lut_mode",
+    "collective_chunks",
 ]
 
 _VALID_BACKENDS = ("auto", "pallas", "jnp")
@@ -82,6 +83,28 @@ def lut_mode() -> str:
     if mode not in _VALID_LUT_MODES:
         raise ValueError(f"NF4TPU_LUT={mode!r}; expected one of {_VALID_LUT_MODES}")
     return mode
+
+
+def collective_chunks() -> int:
+    """``NF4TPU_COLLECTIVE_MATMUL``: decompose each row-parallel projection's
+    psum into this many per-output-chunk partial psums interleaved with the
+    chunk matmuls (collective matmul).  0/unset = single blocking psum.
+
+    The chunked program structure lets XLA's async collectives start chunk
+    c's psum while chunk c+1's matmul runs (compute/communication overlap
+    over ICI); it changes no math — each element sees the identical psum.
+    See PERF_NOTES.md for when it should win.
+    """
+    raw = os.environ.get("NF4TPU_COLLECTIVE_MATMUL", "0")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"NF4TPU_COLLECTIVE_MATMUL={raw!r}; expected an integer chunk count"
+        ) from None
+    if n < 0:
+        raise ValueError(f"NF4TPU_COLLECTIVE_MATMUL={n} must be >= 0")
+    return n
 
 
 def matmul_tile_override() -> Optional[tuple]:

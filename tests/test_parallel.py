@@ -222,3 +222,102 @@ class TestTPKVQuant:
             rtol=3e-2,
             atol=3e-2,
         )
+
+
+class TestRepackTP:
+    """repack_tp must bit-match quantizing with tp_shards=N directly."""
+
+    def test_repack_bitmatch_quantize(self):
+        from nf4_tpu.parallel.tp import repack_tp
+
+        cfg1 = dataclasses.replace(TP_CFG, tp_shards=1)
+        p1 = init_params(cfg1, seed=0)  # same dense draws as tp_shards=4
+        pN = init_params(TP_CFG, seed=0)
+
+        got, got_cfg = repack_tp(p1, cfg1, TP)
+        assert got_cfg.tp_shards == TP
+
+        def check(a, b, name):
+            la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+            assert len(la) == len(lb)
+            for x, y in zip(la, lb):
+                assert np.array_equal(np.asarray(x), np.asarray(y)), name
+
+        check(got.layers.wqkv, pN.layers.wqkv, "wqkv")
+        check(got.layers.w_gateup, pN.layers.w_gateup, "w_gateup")
+        check(got.layers.wo, pN.layers.wo, "wo")
+        check(got.layers.w_down, pN.layers.w_down, "w_down")
+        for w in ("wqkv", "wo"):
+            pw = getattr(got.layers, w)
+            ref = getattr(pN.layers, w)
+            assert pw.shards == ref.shards and pw.padded_shape == ref.padded_shape
+
+    def test_repack_roundtrip_identity(self):
+        from nf4_tpu.parallel.tp import repack_tp
+
+        cfg1 = dataclasses.replace(TP_CFG, tp_shards=1)
+        p1 = init_params(cfg1, seed=1)
+        pN, cfgN = repack_tp(p1, cfg1, TP)
+        back, cfg_back = repack_tp(pN, cfgN, 1)
+        assert cfg_back.tp_shards == 1
+        for x, y in zip(jax.tree.leaves(back), jax.tree.leaves(p1)):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_repacked_tp_forward_matches(self, setup):
+        """Serve a tp_shards=1 checkpoint at tp=4 after repack: the TP
+        forward must match the single-device forward of the original."""
+        from nf4_tpu.parallel.tp import repack_tp
+
+        mesh, _ = setup
+        cfg1 = dataclasses.replace(TP_CFG, tp_shards=1)
+        p1 = init_params(cfg1, seed=2)
+        pN, cfgN = repack_tp(p1, cfg1, TP)
+
+        tokens = jnp.asarray([[3, 5, 7, 9], [2, 4, 6, 8]], jnp.int32)
+        want, _ = prefill(p1, cfg1, tokens)
+
+        sharded, _ = shard_params(localize_params(pN, TP), mesh)
+        got, _ = tp_prefill(sharded, cfgN, mesh, tokens)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2 * np.abs(np.asarray(want, np.float32)).max(),
+        )
+
+
+class TestCollectiveMatmul:
+    """NF4TPU_COLLECTIVE_MATMUL=N decomposes row-parallel psums into
+    per-output-chunk partial psums (compute/comm overlap structure); the
+    result must be BIT-IDENTICAL to the single-psum path."""
+
+    def test_chunked_psum_bit_identical(self, setup, monkeypatch):
+        mesh, params = setup
+        tokens = jnp.asarray([[3, 5, 7, 9], [2, 4, 6, 8]], jnp.int32)
+
+        sharded, _ = shard_params(localize_params(params, TP), mesh)
+        want, want_cache = tp_prefill(sharded, TP_CFG, mesh, tokens)
+
+        monkeypatch.setenv("NF4TPU_COLLECTIVE_MATMUL", "4")
+        got, got_cache = tp_prefill(sharded, TP_CFG, mesh, tokens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(
+            np.asarray(got_cache.k), np.asarray(want_cache.k)
+        )
+
+    def test_single_device_unaffected(self, monkeypatch):
+        cfg = dataclasses.replace(TP_CFG, tp_shards=1)
+        params = init_params(cfg, seed=0)
+        tokens = jnp.asarray([[3, 5, 7, 9]], jnp.int32)
+        want, _ = prefill(params, cfg, tokens)
+        monkeypatch.setenv("NF4TPU_COLLECTIVE_MATMUL", "2")
+        got, _ = prefill(params, cfg, tokens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_bad_flag_rejected(self, monkeypatch):
+        from nf4_tpu.utils import env
+
+        monkeypatch.setenv("NF4TPU_COLLECTIVE_MATMUL", "banana")
+        with pytest.raises(ValueError):
+            env.collective_chunks()
+        monkeypatch.setenv("NF4TPU_COLLECTIVE_MATMUL", "-1")
+        with pytest.raises(ValueError):
+            env.collective_chunks()
