@@ -40,6 +40,7 @@ __all__ = [
     "KVCache",
     "init_params",
     "quantize_dense_params",
+    "quantize_layer",
     "recode_params_int8",
     "fuse_rows",
     "split_fused",
@@ -268,31 +269,38 @@ def _lm_head(w, cfg: LlamaConfig) -> Weight:
     return jnp.asarray(w, dtype=cfg.dtype)
 
 
+def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
+    """Quantize ONE layer's dense weight dict to a LayerParams.
+
+    The unit of the streaming loader (``models.loader.load_hf_llama``): a
+    layer's dense tensors can be freed as soon as this returns, so peak host
+    memory during checkpoint loading is one dense layer + the packed output
+    rather than the whole dense model.
+    """
+    g = cfg.tp_shards
+    qkv_bias = None
+    if cfg.attn_bias:
+        qkv_bias = jnp.asarray(
+            fuse_rows([lw["bq"], lw["bk"], lw["bv"]], g), dtype=jnp.float32
+        )
+    return LayerParams(
+        wqkv=_linear(fuse_rows([lw["wq"], lw["wk"], lw["wv"]], g), cfg),
+        wo=_linear(lw["wo"], cfg, shards=g),
+        w_gateup=_linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg),
+        w_down=_linear(lw["w_down"], cfg, shards=g),
+        input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
+        post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
+        qkv_bias=qkv_bias,
+    )
+
+
 def quantize_dense_params(dense_layers: list, cfg: LlamaConfig, embed, final_norm, lm_head) -> LlamaParams:
     """Assemble LlamaParams from host-side dense per-layer weight dicts.
 
     ``dense_layers[i]`` maps {"wq","wk","wv","wo","w_gate","w_up","w_down",
     "input_norm","post_attn_norm"} to numpy arrays; linears are quantized.
     """
-    g = cfg.tp_shards
-    built = []
-    for lw in dense_layers:
-        qkv_bias = None
-        if cfg.attn_bias:
-            qkv_bias = jnp.asarray(
-                fuse_rows([lw["bq"], lw["bk"], lw["bv"]], g), dtype=jnp.float32
-            )
-        built.append(
-            LayerParams(
-                wqkv=_linear(fuse_rows([lw["wq"], lw["wk"], lw["wv"]], g), cfg),
-                wo=_linear(lw["wo"], cfg, shards=g),
-                w_gateup=_linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg),
-                w_down=_linear(lw["w_down"], cfg, shards=g),
-                input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
-                post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
-                qkv_bias=qkv_bias,
-            )
-        )
+    built = [quantize_layer(lw, cfg) for lw in dense_layers]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *built)
     return LlamaParams(
         embed=jnp.asarray(embed, dtype=cfg.dtype),

@@ -17,7 +17,7 @@ from typing import Dict, Iterator, Tuple
 
 import numpy as np
 
-from .llama import LlamaConfig, LlamaParams, quantize_dense_params
+from .llama import LlamaConfig, LlamaParams
 
 __all__ = [
     "load_hf_llama",
@@ -110,19 +110,48 @@ _HF_TO_OURS = {
 _BIAS_KEYS = {"bq", "bk", "bv"}
 
 
-def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[LlamaParams, LlamaConfig]:
-    """Load a local HF Llama checkpoint directory and quantize to NF4.
+def load_hf_llama(
+    model_dir: str,
+    cfg: LlamaConfig | None = None,
+    stats: Dict | None = None,
+) -> Tuple[LlamaParams, LlamaConfig]:
+    """Load a local HF Llama checkpoint directory and quantize to NF4,
+    STREAMING: each layer is quantized (and its dense tensors freed) as soon
+    as its last tensor has been read, so peak host memory is
+
+        packed output (~m*n*0.5625 bytes total)
+      + one dense layer being quantized (fp32 transient)
+      + embed / lm_head / norms,
+
+    NOT the whole dense checkpoint.  Llama-3-70B math: dense fp16 = ~141 GB,
+    of which the streaming path holds at most one decoder layer at a time
+    (~1.6 GB fp16, ~3.3 GB as the fp32 quantizer transient) on top of the
+    ~40 GB packed output and ~4.2 GB embed+lm_head — ~48 GB peak instead of
+    ~180 GB.  (Multi-host serving additionally wants per-host shard loading;
+    the packed output here is the full model, which each host can slice
+    after ``repack_tp``.)
 
     Reads ``config.json`` + ``*.safetensors``; tied embeddings are handled
-    (lm_head falls back to the embedding matrix when absent).
+    (lm_head falls back to the embedding matrix when absent).  ``stats``,
+    when given, is filled with ``peak_dense_bytes`` (max bytes of dense
+    layer tensors simultaneously resident) and ``total_dense_bytes`` — the
+    bounded-memory contract the tests pin down.
     """
     if cfg is None:
         cfg = hf_config_to_llama(os.path.join(model_dir, "config.json"))
 
-    layer_weights: Dict[int, Dict[str, np.ndarray]] = {
-        i: {} for i in range(cfg.num_layers)
-    }
+    from .llama import quantize_layer
+
+    required = set(_HF_TO_OURS.values())
+    if not cfg.attn_bias:
+        required -= _BIAS_KEYS
+
+    layer_weights: Dict[int, Dict[str, np.ndarray]] = {}
+    built: Dict[int, object] = {}  # layer idx -> quantized LayerParams
     embed = final_norm = lm_head = None
+    dense_bytes = 0
+    peak_dense = 0
+    total_dense = 0
 
     for key, tensor in _iter_safetensors(model_dir):
         tensor = np.asarray(tensor)
@@ -138,24 +167,50 @@ def load_hf_llama(model_dir: str, cfg: LlamaConfig | None = None) -> Tuple[Llama
                 continue
             idx, sub = int(m.group(1)), m.group(2)
             ours = _HF_TO_OURS.get(sub)
-            if ours is not None and idx < cfg.num_layers:
-                layer_weights[idx][ours] = tensor
+            if ours is None or idx >= cfg.num_layers:
+                continue
+            lw = layer_weights.setdefault(idx, {})
+            lw[ours] = tensor
+            dense_bytes += tensor.nbytes
+            total_dense += tensor.nbytes
+            peak_dense = max(peak_dense, dense_bytes)
+            if required <= set(lw):
+                # Layer complete: quantize NOW and free the dense tensors.
+                built[idx] = quantize_layer(lw, cfg)
+                for a in lw.values():
+                    dense_bytes -= a.nbytes
+                del layer_weights[idx]
 
     if embed is None or final_norm is None:
         raise ValueError(f"checkpoint at {model_dir} missing embed/final norm")
     if lm_head is None:
         lm_head = embed  # tied embeddings
 
-    dense_layers = [layer_weights[i] for i in range(cfg.num_layers)]
-    required = set(_HF_TO_OURS.values())
-    if not cfg.attn_bias:
-        required -= _BIAS_KEYS
-    for i, lw in enumerate(dense_layers):
-        missing = required - set(lw)
-        if missing:
-            raise ValueError(f"layer {i} missing tensors: {sorted(missing)}")
+    missing_layers = sorted(set(range(cfg.num_layers)) - set(built))
+    if missing_layers:
+        i = missing_layers[0]
+        have = set(layer_weights.get(i, {}))
+        raise ValueError(f"layer {i} missing tensors: {sorted(required - have)}")
 
-    params = quantize_dense_params(dense_layers, cfg, embed, final_norm, lm_head)
+    if stats is not None:
+        stats["peak_dense_bytes"] = peak_dense
+        stats["total_dense_bytes"] = total_dense
+
+    import jax
+
+    import jax.numpy as jnp
+
+    from .llama import _lm_head
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[built[i] for i in range(cfg.num_layers)]
+    )
+    params = LlamaParams(
+        embed=jnp.asarray(embed, dtype=cfg.dtype),
+        layers=stacked,
+        final_norm=jnp.asarray(final_norm, dtype=jnp.float32),
+        lm_head=_lm_head(lm_head, cfg),
+    )
     return params, cfg
 
 

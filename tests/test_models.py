@@ -140,16 +140,17 @@ class TestPackedPersistence:
 
 
 class TestHFLoader:
-    def test_load_hf_llama_roundtrip(self, tmp_path):
-        """Write a synthetic HF-format checkpoint and load+quantize it."""
-        pytest.importorskip("safetensors")
+    @staticmethod
+    def _synthetic_checkpoint(cfg, tmp_path, shards=1):
+        """Write a synthetic HF-format checkpoint; returns the tensor dict.
+
+        ``shards > 1`` splits the tensors round-robin by layer over several
+        .safetensors files (the multi-shard layout of real large models).
+        """
         import json
 
         from safetensors.numpy import save_file
 
-        from nf4_tpu.models.loader import load_hf_llama
-
-        cfg = configs.TINY_TEST
         rng = np.random.default_rng(0)
         h, inter = cfg.hidden_size, cfg.intermediate_size
         tensors = {
@@ -158,34 +159,41 @@ class TestHFLoader:
             ).astype(np.float32),
             "model.norm.weight": np.ones(h, dtype=np.float32),
         }
+        per_layer = {}
         for i in range(cfg.num_layers):
             p = f"model.layers.{i}."
-            tensors[p + "self_attn.q_proj.weight"] = rng.standard_normal(
-                (cfg.q_dim, h)
-            ).astype(np.float32)
-            tensors[p + "self_attn.k_proj.weight"] = rng.standard_normal(
-                (cfg.kv_dim, h)
-            ).astype(np.float32)
-            tensors[p + "self_attn.v_proj.weight"] = rng.standard_normal(
-                (cfg.kv_dim, h)
-            ).astype(np.float32)
-            tensors[p + "self_attn.o_proj.weight"] = rng.standard_normal(
-                (h, cfg.q_dim)
-            ).astype(np.float32)
-            tensors[p + "mlp.gate_proj.weight"] = rng.standard_normal(
-                (inter, h)
-            ).astype(np.float32)
-            tensors[p + "mlp.up_proj.weight"] = rng.standard_normal(
-                (inter, h)
-            ).astype(np.float32)
-            tensors[p + "mlp.down_proj.weight"] = rng.standard_normal(
-                (h, inter)
-            ).astype(np.float32)
-            tensors[p + "input_layernorm.weight"] = np.ones(h, dtype=np.float32)
-            tensors[p + "post_attention_layernorm.weight"] = np.ones(
-                h, dtype=np.float32
+            lw = {
+                p + "self_attn.q_proj.weight": (cfg.q_dim, h),
+                p + "self_attn.k_proj.weight": (cfg.kv_dim, h),
+                p + "self_attn.v_proj.weight": (cfg.kv_dim, h),
+                p + "self_attn.o_proj.weight": (h, cfg.q_dim),
+                p + "mlp.gate_proj.weight": (inter, h),
+                p + "mlp.up_proj.weight": (inter, h),
+                p + "mlp.down_proj.weight": (h, inter),
+            }
+            per_layer[i] = {
+                k: rng.standard_normal(s).astype(np.float32) for k, s in lw.items()
+            }
+            per_layer[i][p + "input_layernorm.weight"] = np.ones(h, np.float32)
+            per_layer[i][p + "post_attention_layernorm.weight"] = np.ones(
+                h, np.float32
             )
-        save_file(tensors, str(tmp_path / "model.safetensors"))
+            tensors.update(per_layer[i])
+
+        if shards == 1:
+            save_file(tensors, str(tmp_path / "model.safetensors"))
+        else:
+            files = [dict() for _ in range(shards)]
+            files[0]["model.embed_tokens.weight"] = tensors[
+                "model.embed_tokens.weight"
+            ]
+            files[-1]["model.norm.weight"] = tensors["model.norm.weight"]
+            for i in range(cfg.num_layers):
+                files[i % shards].update(per_layer[i])
+            for j, f in enumerate(files):
+                save_file(
+                    f, str(tmp_path / f"model-{j + 1:05d}-of-{shards:05d}.safetensors")
+                )
         hf_cfg = {
             "vocab_size": cfg.vocab_size,
             "hidden_size": h,
@@ -199,6 +207,16 @@ class TestHFLoader:
             "max_position_embeddings": cfg.max_seq_len,
         }
         (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+        return tensors
+
+    def test_load_hf_llama_roundtrip(self, tmp_path):
+        """Write a synthetic HF-format checkpoint and load+quantize it."""
+        pytest.importorskip("safetensors")
+
+        from nf4_tpu.models.loader import load_hf_llama
+
+        cfg = configs.TINY_TEST
+        tensors = self._synthetic_checkpoint(cfg, tmp_path)
 
         params, loaded_cfg = load_hf_llama(str(tmp_path))
         assert loaded_cfg.hidden_size == cfg.hidden_size
@@ -212,6 +230,44 @@ class TestHFLoader:
         tokens = jnp.arange(6, dtype=jnp.int32)[None, :]
         logits, _ = prefill(params, loaded_cfg, tokens)
         assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+    def test_streaming_load_bounded_memory(self, tmp_path):
+        """The loader quantizes layer-by-layer and frees dense tensors as it
+        goes: peak resident dense bytes must be ~one layer, not the whole
+        checkpoint — the property that makes Llama-3-70B loadable
+        (VERDICT r2 item 3)."""
+        pytest.importorskip("safetensors")
+
+        from nf4_tpu.models.loader import load_hf_llama
+
+        cfg = configs.TINY_TEST
+        self._synthetic_checkpoint(cfg, tmp_path, shards=3)
+
+        stats = {}
+        params, loaded_cfg = load_hf_llama(str(tmp_path), stats=stats)
+
+        h, inter, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+        layer_bytes = 4 * (
+            (cfg.q_dim + 2 * cfg.kv_dim) * h  # qkv
+            + h * cfg.q_dim  # o
+            + 3 * inter * h  # gate/up/down
+            + 2 * h  # norms
+        )
+        assert stats["total_dense_bytes"] == L * layer_bytes
+        # Peak = exactly one layer resident at a time (layers complete
+        # before the next begins in this shard layout).
+        assert stats["peak_dense_bytes"] == layer_bytes, stats
+
+        # And the multi-shard streamed load matches the single-shard load.
+        import shutil
+
+        single = tmp_path / "single"
+        single.mkdir()
+        self._synthetic_checkpoint(cfg, single)
+        want, _ = load_hf_llama(str(single))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        shutil.rmtree(single)
 
 
 class TestKVQuant:
