@@ -51,7 +51,35 @@ def initialize_distributed(
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:  # single-host / no coordinator: fine
+        except Exception as e:  # single-host / no coordinator: fine
+            # A genuine pod-init failure must not silently degrade a
+            # multi-host launch to single-host (the only later symptom is a
+            # confusing device-count assert in make_mesh): if the
+            # environment looks distributed, surface the real cause here.
+            import os
+
+            markers = [
+                v
+                for v in (
+                    "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS",
+                    "TPU_WORKER_HOSTNAMES",
+                    "TPU_WORKER_ID",
+                    "CLOUD_TPU_TASK_ID",
+                )
+                if os.environ.get(v)
+            ]
+            if markers:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "jax.distributed.initialize() failed (%s) although "
+                    "distributed environment markers are set (%s); "
+                    "continuing single-host — multi-host collectives will "
+                    "NOT span this job",
+                    e,
+                    ", ".join(markers),
+                )
             return
         return
     jax.distributed.initialize(

@@ -52,11 +52,11 @@ def _token_logprobs(logits: jax.Array, tokens) -> jax.Array:
     return lp[jnp.arange(lp.shape[0]), jnp.asarray(tokens)]
 
 
-def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis):
+def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis, data_axis):
     from ..parallel.tp import tp_decode_step
 
     return tp_decode_step(
-        params, cfg, mesh, token, cache, positions, axis=axis
+        params, cfg, mesh, token, cache, positions, axis=axis, data_axis=data_axis
     )
 
 
@@ -119,6 +119,14 @@ class Engine:
     (``cfg.tp_shards`` must equal the mesh's TP degree), keeps the KV cache
     head-sharded, and routes prefill/decode through ``parallel.tp``'s
     shard_mapped entry points.  Logits stay vocab-sharded until sampling.
+
+    When the mesh also has a data-parallel axis (``make_mesh(tp=4, dp=2)``),
+    the engine shards its decode slots over it automatically: the slot batch,
+    KV cache, and decode step split on ``dp`` while weights are replicated
+    across it (BASELINE config 5's tensor+data layout).  ``batch_size`` must
+    then be a multiple of the dp degree.  Prefill groups run with the batch
+    replicated over dp (grouped prefill shapes are not generally divisible
+    by dp; the hot decode loop is where dp throughput matters).
     """
 
     def __init__(
@@ -131,6 +139,7 @@ class Engine:
         seed: int = 0,
         mesh=None,
         tp_axis: str = "tp",
+        data_axis: Optional[str] = "auto",
         decode_chunk: int = 8,
     ):
         self.cfg = cfg
@@ -153,13 +162,30 @@ class Engine:
                 tp_decode_step,
             )
 
+            if data_axis == "auto":
+                data_axis = (
+                    "dp"
+                    if "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+                    else None
+                )
+            if data_axis is not None:
+                dp = mesh.shape[data_axis]
+                assert batch_size % dp == 0, (
+                    f"batch_size {batch_size} must be a multiple of the "
+                    f"data-parallel degree {dp} (axis {data_axis!r})"
+                )
+            self.data_axis = data_axis
             tp = mesh.shape[tp_axis]
             self.params, _ = shard_params(
                 localize_params(params, tp), mesh, tp_axis
             )
             self._decode = jax.jit(
                 functools.partial(
-                    _tp_decode_wrap, cfg=cfg, mesh=mesh, axis=tp_axis
+                    _tp_decode_wrap,
+                    cfg=cfg,
+                    mesh=mesh,
+                    axis=tp_axis,
+                    data_axis=data_axis,
                 )
             )
             self._prefill_g = jax.jit(
@@ -169,9 +195,15 @@ class Engine:
                 static_argnames=("bucket",),
             )
             self._init_cache = functools.partial(
-                init_sharded_kv_cache, cfg, batch_size, mesh, tp_axis
+                init_sharded_kv_cache,
+                cfg,
+                batch_size,
+                mesh,
+                tp_axis,
+                data_axis=data_axis,
             )
         else:
+            self.data_axis = None
             self.params = params
             self._decode = jax.jit(
                 functools.partial(decode_step, cfg=cfg), static_argnames=()
@@ -455,6 +487,12 @@ class Engine:
                     toks = np.asarray(toks_d)  # [n, B]
                     if return_logprobs:
                         lps = np.asarray(lps_d)
+                    # INVARIANT: a slot whose stop token lands mid-chunk
+                    # still gets slot_pos advanced by n and cur_token set to
+                    # toks[n-1] (post-stop garbage).  This is safe ONLY
+                    # because the retirement check at the top of the while
+                    # loop runs before the next decode touches the slot —
+                    # keep that ordering if refactoring refill/retire.
                     slot_pos += n
                     for s in range(B):
                         for i in range(n):

@@ -298,6 +298,33 @@ class TestTPEngine:
         assert len(res) == 5
         assert all(len(r.tokens) == 3 for r in res)
 
+    def test_dp_slots_sharded(self, tp_setup):
+        """On a dp=2 x tp=4 mesh the engine auto-shards the slot batch over
+        dp: the KV cache batch axis must actually be split across dp."""
+        cfg, params, mesh = tp_setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        assert eng.data_axis == "dp"
+        cache = eng._init_cache()
+        spec = cache.k.sharding.spec
+        assert spec[1] == "dp", f"cache batch axis not dp-sharded: {spec}"
+
+    def test_tp_multistep_decode_matches_single_step(self, tp_setup):
+        """The lax.scan-over-shard_map decode path (decode_chunk > 1) under
+        the dp x tp mesh must emit exactly the single-step TP tokens."""
+        cfg, params, mesh = tp_setup
+        prompts = [[3, 5, 7], [11, 13]]
+
+        single = Engine(
+            params, cfg, batch_size=2, eos_token=-1, mesh=mesh, decode_chunk=1
+        )
+        want = [r.tokens for r in single.generate(prompts, max_new_tokens=6)]
+
+        multi = Engine(
+            params, cfg, batch_size=2, eos_token=-1, mesh=mesh, decode_chunk=2
+        )
+        got = [r.tokens for r in multi.generate(prompts, max_new_tokens=6)]
+        assert got == want
+
 
 class TestSegmentedPrefill:
     def test_long_prompts_match_unsegmented(self, engine_setup, monkeypatch):
