@@ -213,19 +213,31 @@ def int8_matmul(x: jax.Array, p8: PackedInt8, out_dtype=None) -> jax.Array:
         # convert+scale repeats once per batch tile, so prefill batches
         # want tall bm; decode batches want wide out tiles (fewer steps).
         bm = _pick_bm(b_pad)
+        if bm <= 32:
+            # Decode regime, swept on v5e (benchmarks/int8_lab*.py, r3):
+            # shallow-K weights (gate/up: K=4096) run best with big 4MB
+            # tiles (bk=2048, bo=2048) — fewest grid steps; deep-K weights
+            # (down: K=14336) prefer (1024, 1024).  The r2 policy capped bo
+            # at 1024, which is the 46%-of-roofline BENCH_r02 capture.
+            if n_pad <= 4096:
+                bk = _pick_tile(n_pad, (2048, 1024, 512))
+            else:
+                bk = _pick_tile(n_pad, (1024, 2048, 512))
+            bo = next(
+                c
+                for c in (2048, 1024, 512, 256, 128)
+                if m_pad % c == 0 and bk * c <= 4 * 2**20
+            )
+        else:
+            bk = _pick_tile(n_pad, (2048, 1024, 512))
+            bo = _pick_tile(m_pad, (512, 256, 128))
+        override = env.matmul_tile_override()
+        if override:
+            bm, bk, bo = override
         old_b = b_pad
         b_pad = pad_to(b_pad, bm)
         if b_pad != old_b:
             x2 = jnp.pad(x2, ((0, b_pad - old_b), (0, 0)))
-        bk = _pick_tile(n_pad, (2048, 1024))
-        if bm <= 32:
-            bo = next(
-                c
-                for c in (1024, 512, 256, 128)
-                if m_pad % c == 0 and bk * c <= 2 * 2**21
-            )
-        else:
-            bo = _pick_tile(m_pad, (512, 256, 128))
         y = _int8_matmul_pallas(
             x2, p8.values, p8.scales, out_dtype, (bm, bk, bo), False
         )
