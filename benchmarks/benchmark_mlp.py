@@ -111,6 +111,44 @@ class MLP:
         benchmark.py:62-65)."""
         return dequantize(self.gate), dequantize(self.up), dequantize(self.down)
 
+    def forward_jnp_backend(self, x):
+        """Baseline arm: the XLA-reference backend end to end (dequant in
+        XLA + fp32 matmul) — the 'Unsloth fast_dequantize' analog."""
+        return self.forward_fused(x)  # dispatched by NF4TPU_BACKEND=jnp
+
+    def forward_dequant_dense(self, x):
+        """The reference package's own architecture: materialize the bf16
+        weight (fast dequant kernel), then a separate dense XLA matmul
+        (reference benchmark.py:62-65 always materializes then matmuls)."""
+        from nf4_tpu.ops.dequant import dequantize_t_fast
+
+        def mm(xv, pw):
+            wt = dequantize_t_fast(pw)  # [n_pad, m_pad] bf16
+            n, m = pw.in_features, pw.out_features
+            xp = jnp.pad(xv, [(0, 0)] * (xv.ndim - 1) + [(0, wt.shape[0] - n)])
+            return (xp.astype(jnp.bfloat16) @ wt)[..., :m].astype(xv.dtype)
+
+        g = mm(x, self.gate)
+        u = mm(x, self.up)
+        return mm(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u, self.down)
+
+    def make_int8(self):
+        from nf4_tpu.ops.int8_serve import recode_int8_weight
+
+        self.gate8 = recode_int8_weight(self.gate)
+        self.up8 = recode_int8_weight(self.up)
+        self.down8 = recode_int8_weight(self.down)
+
+    def forward_int8(self, x):
+        """int8-recode serving arm (2x weight bytes, decode-free stream)."""
+        from nf4_tpu.ops.int8_serve import int8_matmul
+
+        g = int8_matmul(x, self.gate8)
+        u = int8_matmul(x, self.up8)
+        return int8_matmul(
+            jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u, self.down8
+        )
+
 
 def _oracle_dense(state, dtype):
     out = dequantize_nf4(state, dtype=oracle_np_dtype(dtype))  # numpy, bnb-exact
@@ -169,6 +207,34 @@ def time_dequant(mlp: MLP, backend: str, iters_hint: int):
     return stats
 
 
+def time_forward(fn, x, backend: str, iters_hint: int):
+    """Time one MLP forward under an implementation arm.
+
+    The chain folds ``jnp.max`` of the output back into the carry — XLA
+    SHRINKS a dot whose output is only sliced and reassociates sums, so max
+    is the only safe probe for the XLA-dot arms (see CLAUDE.md traps).
+    """
+    os.environ["NF4TPU_BACKEND"] = backend
+
+    @jax.jit
+    def step(xc):
+        out = fn(xc)
+        return xc + (jnp.max(out.astype(jnp.float32)) * 1e-30).astype(xc.dtype)
+
+    n2 = max(10, min(50, iters_hint))
+    return measure_chained_s(step, x, n1=max(3, n2 // 5), n2=n2, repeats=3)
+
+
+# The four comparison arms (reference benchmark.py:149-162 compares three:
+# Unsloth, PEFT, and its own Triton path; we add the int8 serving arm):
+#   xla-ref       — jnp/XLA backend end to end (the Unsloth-baseline analog)
+#   fused         — Pallas fused dequant-matmul (weights never leave HBM packed)
+#   dequant+dense — materialize bf16 weights, then dense XLA matmul (the
+#                   reference package's own two-step architecture)
+#   int8-recode   — serving mode: decode-free int8 stream, 2x weight bytes
+ARMS = ("xla-ref", "fused", "dequant+dense", "int8-recode")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iterations", type=int, default=50, help="timed chain length")
@@ -178,13 +244,16 @@ def main():
 
     configs = SMALL_CONFIGS if args.small else CONFIGS
     default_backend = os.environ.get("NF4TPU_BACKEND", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    fast = "pallas" if on_tpu else "jnp"
     print(f"device: {jax.devices()[0].device_kind} ({jax.default_backend()})")
 
-    rows = []
+    rows = []  # (name, {arm: seconds})
     for bsz, qlen, hd, m, dtype in configs:
         name = f"hd={hd} m={m} {jnp.dtype(dtype).name}"
         print(f"\n=== {name} (bsz={bsz}, qlen={qlen}) ===")
         mlp = MLP(hd, m, dtype)
+        mlp.make_int8()
         x = jax.random.normal(jax.random.PRNGKey(3), (bsz, qlen, hd)).astype(dtype)
 
         # Correctness gates BEFORE timing (reference benchmark.py:104-113).
@@ -193,26 +262,38 @@ def main():
         assert_forward_close(mlp, x[:1, :64])
         print("  fused forward vs oracle forward: ok")
 
-        base = time_dequant(mlp, "jnp", args.iterations)
-        opt = time_dequant(
-            mlp, "pallas" if jax.default_backend() == "tpu" else "jnp", args.iterations
-        )
-        os.environ["NF4TPU_BACKEND"] = default_backend
-        speedup = base.median / max(opt.median, 1e-12)
-        print(f"  XLA-reference backend: {base}")
-        print(f"  Pallas backend:        {opt}")
-        print(f"  speedup: {speedup:.3f}x")
-        rows.append((name, base.median, opt.median, speedup))
+        dq_base = time_dequant(mlp, "jnp", args.iterations)
+        dq_opt = time_dequant(mlp, fast, args.iterations)
+        print(f"  dequant-only: ref {dq_base.median * 1e3:.3f} ms, "
+              f"pallas {dq_opt.median * 1e3:.3f} ms "
+              f"({dq_base.median / max(dq_opt.median, 1e-12):.2f}x)")
 
-    total_base = sum(r[1] for r in rows)
-    total_opt = sum(r[2] for r in rows)
-    total_speedup = total_base / max(total_opt, 1e-12)
-    print("\n===== Summary =====")
-    for name, b, o, s in rows:
-        print(f"  {name:32s} ref {b * 1e3:8.3f} ms  pallas {o * 1e3:8.3f} ms  {s:.3f}x")
+        times = {}
+        for arm, fn, backend in (
+            ("xla-ref", mlp.forward_jnp_backend, "jnp"),
+            ("fused", mlp.forward_fused, fast),
+            ("dequant+dense", mlp.forward_dequant_dense, fast),
+            ("int8-recode", mlp.forward_int8, fast),
+        ):
+            st = time_forward(fn, x, backend, args.iterations)
+            times[arm] = st.median
+            print(f"  {arm:14s} {st.median * 1e3:8.3f} ms/step "
+                  f"({times['xla-ref'] / max(st.median, 1e-12):.2f}x vs xla-ref)")
+        os.environ["NF4TPU_BACKEND"] = default_backend
+        rows.append((name, times))
+
+    totals = {arm: sum(r[1][arm] for r in rows) for arm in ARMS}
+    total_speedup = totals["xla-ref"] / max(totals["fused"], 1e-12)
+    print("\n===== Summary (MLP forward, total over configs) =====")
+    for arm in ARMS:
+        print(
+            f"  {arm:14s} {totals[arm] * 1e3:9.3f} ms  "
+            f"{totals['xla-ref'] / max(totals[arm], 1e-12):6.2f}x vs xla-ref"
+        )
     gate = 1.15  # the reference's speedup gate (benchmark.py:174-177)
     status = "PASS" if total_speedup >= gate else "FAIL"
-    print(f"  total speedup {total_speedup:.3f}x vs {gate}x gate: {status}")
+    print(f"  fused vs xla-ref baseline: {total_speedup:.3f}x "
+          f"(gate {gate}x: {status})")
 
     if not args.no_plot:
         try:
@@ -224,29 +305,41 @@ def main():
     return 0 if status == "PASS" else 1
 
 
+ARM_COLORS = {
+    "xla-ref": "#9aa5b1",
+    "fused": "#3c7fd0",
+    "dequant+dense": "#7fb069",
+    "int8-recode": "#d08a3c",
+}
+
+
 def plot(rows, total_speedup):
-    """Bar chart of per-config times + speedup line (analog of reference
-    benchmark.py:187-232's benchmark_results.png)."""
+    """Grouped bars of per-config forward times across the four arms +
+    fused-speedup line (analog of reference benchmark.py:187-232)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     names = [r[0] for r in rows]
-    base_ms = [r[1] * 1e3 for r in rows]
-    opt_ms = [r[2] * 1e3 for r in rows]
     xs = np.arange(len(rows))
-    fig, ax1 = plt.subplots(figsize=(9, 5))
-    ax1.bar(xs - 0.2, base_ms, width=0.4, label="XLA reference backend", color="#9aa5b1")
-    ax1.bar(xs + 0.2, opt_ms, width=0.4, label="Pallas backend", color="#3c7fd0")
+    width = 0.2
+    fig, ax1 = plt.subplots(figsize=(10, 5))
+    for i, arm in enumerate(ARMS):
+        vals = [r[1][arm] * 1e3 for r in rows]
+        ax1.bar(xs + (i - 1.5) * width, vals, width=width, label=arm,
+                color=ARM_COLORS[arm])
     ax1.set_xticks(xs, names, rotation=10)
-    ax1.set_ylabel("dequant time per step (ms)")
+    ax1.set_ylabel("MLP forward time per step (ms)")
     ax1.legend(loc="upper left")
     ax2 = ax1.twinx()
-    ax2.plot(xs, [r[3] for r in rows], "o-", color="#d08a3c", label="speedup")
+    speedups = [r[1]["xla-ref"] / max(r[1]["fused"], 1e-12) for r in rows]
+    ax2.plot(xs, speedups, "o-", color="#c0392b", label="fused speedup")
     ax2.axhline(1.15, color="#c0392b", linestyle="--", linewidth=1)
-    ax2.set_ylabel("speedup (x)")
-    fig.suptitle(f"NF4 dequant: Pallas vs XLA reference (total {total_speedup:.2f}x)")
+    ax2.set_ylabel("fused speedup vs xla-ref (x)")
+    fig.suptitle(
+        f"NF4 MLP forward: four arms (fused total {total_speedup:.2f}x vs XLA ref)"
+    )
     fig.tight_layout()
     fig.savefig("benchmark_results.png", dpi=120)
 

@@ -34,7 +34,11 @@ def test_benchmark_mlp_small(monkeypatch, capsys):
     rc = benchmark_mlp.main()
     out = capsys.readouterr().out
     assert "BIT-EXACT ok" in out
-    assert "total speedup" in out
+    # All four comparison arms must report (reference benchmark.py:149-162
+    # compares three implementations; we add the int8 serving arm).
+    for arm in ("xla-ref", "fused", "dequant+dense", "int8-recode"):
+        assert arm in out, f"missing arm {arm}"
+    assert "fused vs xla-ref baseline" in out
     assert rc in (0, 1)  # the 1.15x gate is hardware-dependent; CPU may fail it
 
 
