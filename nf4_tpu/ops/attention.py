@@ -461,6 +461,17 @@ def _flash_eligible(q, k, s, t_max, d) -> bool:
     )
 
 
+def _pick_sc(s: int, g: int) -> int:
+    """Query-tile rows for the flash kernel.  The GQA-packed q block is
+    [G*sc, d] and the per-tile score matrix [G*sc, c] f32; G*sc > 2048
+    blows the 16MB scoped-VMEM limit at c=512 (measured: TinyLlama G=8,
+    sc=512 -> 18.3M compile-time OOM).  Cap the tile so G*sc <= 2048."""
+    sc = 512 if s >= 512 else 256
+    while g * sc > 2048 and sc > 128:
+        sc //= 2
+    return sc
+
+
 def attention(
     q, k, v, positions, seq_lens, *, scale,
     sliding_window=None, k_scale=None, v_scale=None,
@@ -478,7 +489,7 @@ def attention(
     score_elems = b * nh * s * t_max
     if s > 1 and score_elems >= _CHUNKED_MIN_SCORE_ELEMS:
         if contiguous_positions and _flash_eligible(q, k, s, t_max, d):
-            sc = 512 if s >= 512 else 256
+            sc = _pick_sc(s, nh // k.shape[1])
             return flash_attention(
                 q, k, v, positions, seq_lens, scale=scale,
                 sliding_window=sliding_window,

@@ -264,6 +264,20 @@ class TestFlashKernel:
             g[1, :, : s - 60], w[1, :, : s - 60], rtol=2e-2, atol=2e-2
         )
 
+    def test_pick_sc_caps_gqa_tile(self):
+        """The dispatcher's query-tile choice must keep G*sc <= 2048: the
+        GQA-packed score tile [G*sc, c] f32 blows the 16MB scoped-VMEM
+        limit otherwise (measured on v5e: TinyLlama G=8 at sc=512 ->
+        18.3M compile-time OOM)."""
+        from nf4_tpu.ops.attention import _pick_sc
+
+        assert _pick_sc(8192, 4) == 512  # Llama-3-8B: 32q/8kv
+        assert _pick_sc(8192, 8) == 256  # TinyLlama: 32q/4kv
+        assert _pick_sc(8192, 16) == 128
+        assert _pick_sc(300, 1) == 256  # short prefill keeps the 256 tile
+        for g in (1, 2, 4, 8, 16, 32):
+            assert g * _pick_sc(8192, g) <= 2048 or _pick_sc(8192, g) == 128
+
     def test_nonmultiple_s_and_t(self, rng):
         """S/T that are not tile multiples are padded inside the kernel
         wrapper; outputs must match the XLA path on the real rows."""
