@@ -131,9 +131,9 @@ def main():
     # the kernel's sustained rate; per-shape best-of decouples the windows
     # while keeping every fraction same-pass-calibrated.
     best_shape = {}  # (store, m, n) -> (frac, gbps)
-    for pass_idx in range(10):
+    for pass_idx in range(8):
         if pass_idx:
-            time.sleep(8)  # sample distinct co-tenant windows, not one burst
+            time.sleep(5)  # sample distinct co-tenant windows, not one burst
         dt = marginal_chain(mm, x0)
         roofline_gbps = wd.size * 2 / dt / 1e9
         log(f"[pass {pass_idx}] dense-matmul roofline: {dt*1e3:.3f} ms -> {roofline_gbps:.0f} GB/s")
