@@ -36,7 +36,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def marginal_chain(f, x0, n1=20, n2=100, reps=5):
+def marginal_chain(f, x0, n1=20, n2=100, reps=7):
     """Best marginal seconds/call between chains of n1 and n2 calls.
 
     The shared chip's throughput drifts up to ~2x with co-tenant load;
