@@ -131,8 +131,12 @@ def main():
     # the kernel's sustained rate; per-shape best-of decouples the windows
     # while keeping every fraction same-pass-calibrated.
     best_shape = {}  # (store, m, n) -> (frac, gbps)
+    t_start = time.monotonic()
     for pass_idx in range(8):
         if pass_idx:
+            if time.monotonic() - t_start > 600:
+                log(f"pass time budget reached; stopping after pass {pass_idx - 1}")
+                break
             time.sleep(5)  # sample distinct co-tenant windows, not one burst
         dt = marginal_chain(mm, x0)
         roofline_gbps = wd.size * 2 / dt / 1e9
