@@ -215,6 +215,10 @@ def main():
                     "tp-device mesh (requires that many devices; on the "
                     "CPU backend set "
                     "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    ap.add_argument("--prefix", type=int, default=0,
+                    help="also measure shared-prefix caching: generate() "
+                    "over prompts sharing an N-token prefix, plain vs "
+                    "Engine(prefix_cache=True)")
     ap.add_argument("--engine", action="store_true",
                     help="also measure END-TO-END engine throughput "
                     "(continuous batching + sampling + host loop), not just "
@@ -296,6 +300,37 @@ def main():
                 f"  batch {b:3d}: {ntok} tokens in {dt:.2f}s -> "
                 f"{ntok / dt:8.1f} tok/s engine-level "
                 f"(decode_chunk={eng.decode_chunk})"
+            )
+
+    if args.prefix and mesh is None:
+        from nf4_tpu.serve.engine import Engine
+
+        print(
+            f"\n--- shared-prefix caching ({args.prefix}-token prefix, "
+            "16-token tails, 8 new tokens) ---"
+        )
+        rng = np.random.default_rng(0)
+        plen = min(args.prefix, cfg.max_seq_len - 32)  # room for tail+gen
+        pref = rng.integers(1, cfg.vocab_size, plen).tolist()
+        for b in (int(s) for s in args.batch_sizes.split(",")):
+            prompts = [
+                pref + rng.integers(1, cfg.vocab_size, 16).tolist()
+                for _ in range(b)
+            ]
+            times = {}
+            for mode in (False, True):
+                eng = Engine(
+                    params, cfg, batch_size=b, eos_token=-1,
+                    prefix_cache=mode,
+                )
+                eng.generate(prompts, max_new_tokens=8)  # warm/compile
+                t0 = time.perf_counter()
+                eng.generate(prompts, max_new_tokens=8)
+                times[mode] = time.perf_counter() - t0
+            print(
+                f"  batch {b:3d}: plain {times[False] * 1e3:8.1f} ms, "
+                f"prefix-cached {times[True] * 1e3:8.1f} ms "
+                f"({times[False] / times[True]:.2f}x)"
             )
 
     print("\n--- prefill ---")

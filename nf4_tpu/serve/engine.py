@@ -31,6 +31,7 @@ from ..models.llama import (
     init_kv_cache,
 )
 from .sampling import SamplingParams, sample
+from .speculative import propose_ngram
 
 __all__ = ["Engine", "GenerationResult"]
 
@@ -57,6 +58,52 @@ def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis, data_ax
 
     return tp_decode_step(
         params, cfg, mesh, token, cache, positions, axis=axis, data_axis=data_axis
+    )
+
+
+def _fwd_wrap(params, tokens, cache, positions, seq_lens, *, cfg):
+    """Model forward with the signature spec_verify expects."""
+    return forward(params, cfg, tokens, cache, positions, seq_lens)
+
+
+def _tp_fwd_wrap(
+    params, tokens, cache, positions, seq_lens, *, cfg, mesh, axis, data_axis
+):
+    from ..parallel.tp import tp_forward
+
+    # Full [B, S, V] logits (vocab-sharded over `axis`); the argmax in
+    # spec_verify runs outside the shard_map, where GSPMD handles the
+    # sharded-vocab reduction.
+    return tp_forward(
+        params, cfg, mesh, tokens, cache, positions, seq_lens,
+        axis=axis, data_axis=data_axis,
+    )
+
+
+def _common_prefix_len(prompts) -> int:
+    """Length of the longest token prefix shared by ALL prompts."""
+    it = iter(prompts)
+    first = list(next(it))
+    n = len(first)
+    for p in it:
+        p = list(p)
+        m = min(n, len(p))
+        i = 0
+        while i < m and p[i] == first[i]:
+            i += 1
+        n = i
+        if n == 0:
+            break
+    return n
+
+
+@jax.jit
+def _bcast_slot0(cache):
+    """Copy cache slot 0's row to every slot (all leaves index the slot
+    axis at position 1 — layers lead).  Used after prefilling a shared
+    prefix into slot 0 so every later continuation finds it in place."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, :1], a.shape), cache
     )
 
 
@@ -127,6 +174,10 @@ class Engine:
     then be a multiple of the dp degree.  Prefill groups run with the batch
     replicated over dp (grouped prefill shapes are not generally divisible
     by dp; the hot decode loop is where dp throughput matters).
+
+    ``spec_k > 0`` enables prompt-lookup speculative decoding (greedy only;
+    serve/speculative.py) and ``prefix_cache=True`` enables shared-prefix
+    prefill reuse — both are token-identical to the plain paths.
     """
 
     def __init__(
@@ -141,6 +192,9 @@ class Engine:
         tp_axis: str = "tp",
         data_axis: Optional[str] = "auto",
         decode_chunk: int = 8,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
+        prefix_cache: bool = False,
     ):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -148,11 +202,33 @@ class Engine:
         self.sampling = sampling
         self._key = jax.random.PRNGKey(seed)
         self.mesh = mesh
+        self.tp_axis = tp_axis
         # Decode steps per host sync when all slots are busy (1 disables).
         # Stochastic sampling consumes a different (but equally valid) key
         # sequence than single-stepping; greedy output is identical.
         self.decode_chunk = decode_chunk
         self._decode_multi_cache = {}
+        # Speculative decoding (prompt-lookup drafts, serve/speculative.py):
+        # verify spec_k drafted tokens per forward when sampling is greedy
+        # and every slot is busy.  0 disables.  spec_k must stay below the
+        # minimum prefill bucket (16) so a refill prefill always overwrites
+        # the garbage an idle slot's verify wrote at positions 0..spec_k.
+        assert 0 <= spec_k < 16, "spec_k must be in [0, 16)"
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
+        self._spec_cache = {}
+        # Observability: verify steps taken / tokens emitted through them
+        # (ratio emitted/steps = mean tokens per verify = the speedup lever).
+        self.spec_stats = {"steps": 0, "emitted": 0}
+        # Shared-prefix caching: when all prompts of a generate() call share
+        # a token prefix (few-shot / RAG / long system prompt), prefill it
+        # ONCE, broadcast its KV to every slot, and prefill only each
+        # prompt's remainder.  Prefill work drops from sum(len_i) to
+        # Lp + sum(len_i - Lp) tokens.  The prefix region [0, Lp) of every
+        # slot stays valid across continuous-batching refills because both
+        # continuation prefill and decode only write positions >= Lp.
+        self.prefix_cache = prefix_cache
+        self.prefix_stats = {"prefix_len": 0, "tokens_saved": 0}
 
         if mesh is not None:
             from ..parallel.tp import (
@@ -222,11 +298,17 @@ class Engine:
     PREFILL_SEGMENT = 2048
 
     @staticmethod
-    def _prefill_impl(params, tokens, lengths, cache, slots, *, cfg, bucket):
+    def _prefill_impl(
+        params, tokens, lengths, cache, slots, start, *, cfg, bucket
+    ):
         """Prefill a GROUP of sequences (each padded to `bucket`) into cache
         slots ``slots``; returns (last_logits [G, V], cache).
 
-        tokens [G, bucket], lengths [G], slots [G] int32.  The cache is an
+        tokens [G, bucket], lengths [G], slots [G], start [G] int32.
+        ``start`` is each sequence's first absolute position — 0 for a
+        fresh prompt, the shared-prefix length for a continuation prefill
+        on top of already-cached context (the prefix-cache path); cache
+        positions below ``start`` are left untouched.  The cache is an
         opaque pytree (bf16 k/v, or int8 k/v plus scale leaves when
         ``cfg.kv_quant``); slot rows are gathered/scattered on the batch
         axis so one jitted call serves any same-bucket group.  Buckets
@@ -238,11 +320,11 @@ class Engine:
 
         seg = Engine.PREFILL_SEGMENT
         if bucket <= seg:
-            positions = jnp.broadcast_to(
+            positions = start[:, None] + jnp.broadcast_to(
                 jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
             )
             last, new_slot_cache = forward(
-                params, cfg, tokens, slot_cache, positions, lengths,
+                params, cfg, tokens, slot_cache, positions, start + lengths,
                 last_only=True,
             )
         else:
@@ -254,10 +336,10 @@ class Engine:
                 seg_toks = jax.lax.dynamic_slice_in_dim(
                     toks_pad, t0, seg, axis=1
                 )
-                positions = jnp.broadcast_to(
+                positions = start[:, None] + jnp.broadcast_to(
                     t0 + jnp.arange(seg, dtype=jnp.int32), (g, seg)
                 )
-                seg_lens = jnp.minimum(lengths, t0 + seg)
+                seg_lens = start + jnp.minimum(lengths, t0 + seg)
                 logits_seg, carry_cache = forward(
                     params, cfg, seg_toks, carry_cache, positions, seg_lens,
                     last_only=True,
@@ -277,7 +359,8 @@ class Engine:
 
     @staticmethod
     def _prefill_impl_tp(
-        params, tokens, lengths, cache, slots, *, cfg, mesh, axis, bucket
+        params, tokens, lengths, cache, slots, start, *, cfg, mesh, axis,
+        bucket
     ):
         """TP variant of :meth:`_prefill_impl`: the forward runs shard_mapped
         over the mesh; the slot gather/scatter stays outside (plain XLA ops
@@ -290,12 +373,12 @@ class Engine:
 
         seg = Engine.PREFILL_SEGMENT
         if bucket <= seg:
-            positions = jnp.broadcast_to(
+            positions = start[:, None] + jnp.broadcast_to(
                 jnp.arange(bucket, dtype=jnp.int32), (g, bucket)
             )
             last, new_slot_cache = tp_forward(
-                params, cfg, mesh, tokens, slot_cache, positions, lengths,
-                axis=axis, last_only=True,
+                params, cfg, mesh, tokens, slot_cache, positions,
+                start + lengths, axis=axis, last_only=True,
             )
         else:
             nseg = -(-bucket // seg)
@@ -306,10 +389,10 @@ class Engine:
                 seg_toks = jax.lax.dynamic_slice_in_dim(
                     toks_pad, t0, seg, axis=1
                 )
-                positions = jnp.broadcast_to(
+                positions = start[:, None] + jnp.broadcast_to(
                     t0 + jnp.arange(seg, dtype=jnp.int32), (g, seg)
                 )
-                seg_lens = jnp.minimum(lengths, t0 + seg)
+                seg_lens = start + jnp.minimum(lengths, t0 + seg)
                 logits_seg, carry_cache = tp_forward(
                     params, cfg, mesh, seg_toks, carry_cache, positions,
                     seg_lens, axis=axis, last_only=True,
@@ -354,6 +437,37 @@ class Engine:
 
         cache = self._init_cache()
 
+        # Shared-prefix cache: prefill the common prefix once into slot 0,
+        # broadcast its KV row to every slot, then treat each prompt as a
+        # continuation of length len(prompt) - Lp.  Lp is capped one below
+        # the shortest prompt so every request still prefills >= 1 token
+        # (the token that produces its first logits).
+        prefix_len = 0
+        if self.prefix_cache and len(prompts) >= 2:
+            lcp = _common_prefix_len(prompts)
+            shortest = min((len(p) for p in prompts), default=0)
+            lcp = min(lcp, shortest - 1, cfg.max_seq_len - 2)
+            if lcp >= 16:
+                prefix_len = lcp
+                ptoks = list(prompts[0])[:prefix_len]
+                bucket = min(_bucket(prefix_len), cfg.max_seq_len)
+                toks = np.zeros((1, bucket), dtype=np.int32)
+                toks[0, :prefix_len] = ptoks
+                _last, cache = self._prefill_g(
+                    self.params,
+                    jnp.asarray(toks),
+                    jnp.asarray([prefix_len], dtype=jnp.int32),
+                    cache,
+                    jnp.asarray([0], dtype=jnp.int32),
+                    jnp.asarray([0], dtype=jnp.int32),
+                    bucket=bucket,
+                )
+                cache = _bcast_slot0(cache)
+                self.prefix_stats = {
+                    "prefix_len": prefix_len,
+                    "tokens_saved": prefix_len * (len(prompts) - 1),
+                }
+
         # Per-slot host state.
         slot_req = [-1] * B  # request index or -1 (idle)
         slot_pos = np.zeros(B, dtype=np.int32)  # next position to write
@@ -385,8 +499,9 @@ class Engine:
                     results[r] = GenerationResult(prompt, [], True)
                     continue
                 slot_req[s] = r  # reserve the slot
+                rem = prompt[prefix_len:]  # continuation past the prefix
                 pending.append(
-                    (s, r, prompt, min(_bucket(len(prompt)), cfg.max_seq_len))
+                    (s, r, prompt, min(_bucket(len(rem)), cfg.max_seq_len))
                 )
 
             groups = defaultdict(list)
@@ -402,8 +517,9 @@ class Engine:
                     lens = np.zeros((g,), dtype=np.int32)
                     slots = np.zeros((g,), dtype=np.int32)
                     for j, (s, _r, prompt, _b) in enumerate(chunk):
-                        toks[j, : len(prompt)] = prompt
-                        lens[j] = len(prompt)
+                        rem = prompt[prefix_len:]
+                        toks[j, : len(rem)] = rem
+                        lens[j] = len(rem)
                         slots[j] = s
                     last_logits, cache = self._prefill_g(
                         self.params,
@@ -411,6 +527,7 @@ class Engine:
                         jnp.asarray(lens),
                         cache,
                         jnp.asarray(slots),
+                        jnp.full((g,), prefix_len, dtype=jnp.int32),
                         bucket=bucket,
                     )
                     first = np.asarray(self._sample(last_logits, sampling))
@@ -454,6 +571,58 @@ class Engine:
             refill(None)
             if not any(r != -1 for r in slot_req):
                 break
+
+            # Speculative fast path (greedy only): draft spec_k tokens per
+            # slot by prompt lookup, verify them all in ONE forward, emit
+            # the matched prefix + 1 — between 1 and spec_k+1 tokens per
+            # weight pass.  Token-identical to plain greedy decode (the
+            # accept rule keeps only drafts the model itself would emit).
+            if (
+                self.spec_k > 0
+                and sampling.temperature == 0.0
+                and sampling.repetition_penalty == 1.0
+                and all(r != -1 for r in slot_req)
+                and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
+            ):
+                k = self.spec_k
+                drafts = np.zeros((B, k), dtype=np.int32)
+                for s in range(B):
+                    ctx = list(prompts[slot_req[s]]) + slot_generated[s]
+                    drafts[s] = propose_ngram(ctx, k, self.spec_ngram)
+                targets_d, acc_d, lps_d, cache = self._spec_verify(k)(
+                    self.params,
+                    jnp.asarray(cur_token),
+                    jnp.asarray(drafts),
+                    cache,
+                    jnp.asarray(slot_pos),
+                )
+                targets = np.asarray(targets_d)  # [B, k+1]
+                acc = np.asarray(acc_d)  # [B]
+                if return_logprobs:
+                    lps = np.asarray(lps_d)
+                self.spec_stats["steps"] += 1
+                for s in range(B):
+                    n_emit = int(acc[s]) + 1
+                    # Same mid-chunk invariant as the multi-step path: a
+                    # stop or budget hit inside the emitted run leaves
+                    # slot_pos/cur_token past the kept tokens, and the
+                    # retirement check at the top of the loop MUST run
+                    # before the slot decodes again.
+                    for i in range(n_emit):
+                        t = int(targets[s, i])
+                        slot_generated[s].append(t)
+                        self.spec_stats["emitted"] += 1
+                        if return_logprobs:
+                            slot_logprobs[s].append(float(lps[s, i]))
+                        if on_token is not None and t not in stops:
+                            on_token(slot_req[s], t)
+                        if t in stops or (
+                            len(slot_generated[s]) >= max_new_tokens
+                        ):
+                            break
+                    slot_pos[s] += n_emit
+                    cur_token[s] = int(targets[s, n_emit - 1])
+                continue
 
             # Multi-step fast path: when every slot is busy and has >= 2
             # steps of budget, run a chunk of decode+sample steps entirely
@@ -537,6 +706,25 @@ class Engine:
                     on_token(slot_req[s], int(next_tok[s]))
 
         return [r for r in results if r is not None]
+
+    def _spec_verify(self, k: int):
+        fn = self._spec_cache.get(k)
+        if fn is None:
+            from .speculative import spec_verify
+
+            if self.mesh is not None:
+                fwd = functools.partial(
+                    _tp_fwd_wrap,
+                    cfg=self.cfg,
+                    mesh=self.mesh,
+                    axis=self.tp_axis,
+                    data_axis=self.data_axis,
+                )
+            else:
+                fwd = functools.partial(_fwd_wrap, cfg=self.cfg)
+            fn = jax.jit(functools.partial(spec_verify, fwd=fwd, k=k))
+            self._spec_cache[k] = fn
+        return fn
 
     def _decode_multi(self, sampling: SamplingParams, n_steps: int):
         key = (sampling, n_steps)

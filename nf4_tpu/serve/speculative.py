@@ -1,0 +1,113 @@
+"""Speculative decoding via prompt-lookup (n-gram) drafting.
+
+Decode on this engine is weight-stream-bound: a decode step reads every
+packed weight byte to emit ONE token per slot (PERF_NOTES: the int8 path
+runs AT the HBM roofline, so more tokens per step is the only remaining
+lever).  Verifying K drafted tokens in a single forward reads the weights
+once for K+1 positions, so every accepted draft is a nearly-free extra
+token — the MXU work grows K+1-fold but decode is far from compute-bound.
+
+Drafts come from *prompt lookup*: the longest n-gram suffix of a slot's
+(prompt + generated) token history is matched against its own earlier
+occurrences and the following tokens are proposed.  No draft model, no
+extra weights in HBM.  This pays off on the workloads where it is known
+to pay off (summarization, code editing, RAG — anything that re-emits
+spans of its input); on text with no self-overlap the drafts are simply
+rejected and the engine degrades to ~1 token per verify step.
+
+Greedy-only by construction: with temperature 0 the accept rule below
+reproduces plain greedy decode token-for-token (tests assert identity).
+Stochastic sampling would need distribution-preserving rejection
+sampling; the engine falls back to normal decode when temperature != 0.
+
+The reference package has no serving loop at all (its concurrency is
+three CUDA streams in ``benchmark.py:68-84``); this subsystem exists to
+beat the BASELINE serving target (Llama-3-8B tokens/s/chip), not to
+mirror reference code.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["propose_ngram", "spec_verify"]
+
+
+def propose_ngram(
+    context: Sequence[int], k: int, max_ngram: int = 3
+) -> np.ndarray:
+    """Propose ``k`` continuation tokens for ``context`` by prompt lookup.
+
+    Finds the LAST earlier occurrence of the longest matching suffix
+    n-gram (n = max_ngram down to 1) and returns the ``k`` tokens that
+    followed it.  Always returns exactly ``k`` int32 tokens: short
+    continuations are padded by repeating their final token, and when no
+    n-gram recurs the last context token is proposed k times (cheap to
+    verify, almost always rejected — the step then emits 1 token, same
+    as plain decode).
+    """
+    a = np.asarray(context, dtype=np.int64)
+    length = int(a.size)
+    out = None
+    for n in range(min(max_ngram, length - 1), 0, -1):
+        suf = a[length - n :]
+        # Candidate starts i with a[i:i+n] == suf and at least one
+        # continuation token (i + n <= length - 1).  The suffix's own
+        # position (length - n) is excluded by the slice bound.
+        starts = np.flatnonzero(a[: length - n] == suf[0])
+        ok = np.ones(starts.size, dtype=bool)
+        for j in range(1, n):
+            ok &= a[starts + j] == suf[j]
+        cand = starts[ok]
+        if cand.size:
+            i = int(cand[-1])
+            out = a[i + n : i + n + k]
+            break
+    if out is None or out.size == 0:
+        out = a[length - 1 :] if length else np.zeros(1, dtype=np.int64)
+        out = out[:1]
+    if out.size < k:
+        out = np.concatenate(
+            [out, np.full(k - out.size, out[-1], dtype=np.int64)]
+        )
+    return out.astype(np.int32)
+
+
+def spec_verify(params, cur_token, drafts, cache, slot_pos, *, fwd, k):
+    """Verify ``k`` drafted tokens per slot in ONE forward (jit this).
+
+    cur_token [B] int32 — last emitted (not yet consumed) token per slot.
+    drafts [B, k] int32 — proposed continuations of cur_token.
+    slot_pos [B] int32 — cache position cur_token will be written at.
+    fwd(params, tokens, cache, positions, seq_lens) -> (logits [B,S,V],
+    cache) — the model forward (single-device or shard_mapped TP).
+
+    Returns (targets [B, k+1], accepted [B], logprobs [B, k+1], cache):
+    ``targets[:, i]`` is the greedy token after consuming position i;
+    ``accepted[s]`` counts the matched draft prefix, so slot ``s`` emits
+    ``targets[s, : accepted[s] + 1]`` — between 1 and k+1 tokens, and
+    exactly the plain-greedy-decode tokens (the accept rule only keeps
+    drafts the model itself would have emitted).
+
+    Cache contract: all k+1 positions (slot_pos .. slot_pos+k) are
+    written, including rejected drafts.  That stale tail is safe: the
+    next step for the slot starts writing at slot_pos + accepted + 1,
+    and since accepted + 1 <= k + 1 its write window always covers the
+    stale region; attention masks by (positions, seq_lens) besides.
+    """
+    toks = jnp.concatenate([cur_token[:, None], drafts], axis=1)  # [B,k+1]
+    pos = slot_pos[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    seq_lens = slot_pos + (k + 1)
+    logits, cache = fwd(params, toks, cache, pos, seq_lens)
+    lg = logits.astype(jnp.float32)
+    targets = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, k+1]
+    match = (drafts == targets[:, :-1]).astype(jnp.int32)
+    accepted = jnp.cumprod(match, axis=1).sum(axis=1)  # [B] in 0..k
+    lps = jnp.take_along_axis(
+        jax.nn.log_softmax(lg, axis=-1), targets[..., None], axis=-1
+    )[..., 0]
+    return targets, accepted, lps, cache

@@ -1,0 +1,176 @@
+"""Speculative decoding: prompt-lookup drafts + single-forward verify.
+
+The load-bearing property is EXACTNESS: with greedy sampling, a
+speculative engine must emit token-for-token what the plain engine
+emits, for any drafts whatsoever (the accept rule only keeps drafts the
+model itself would have produced).  Everything else — acceptance rate,
+throughput — is a performance question measured on hardware
+(PERF_NOTES.md), not asserted here.
+"""
+
+import numpy as np
+import pytest
+
+from nf4_tpu.models import configs
+from nf4_tpu.models.llama import init_params
+from nf4_tpu.serve.engine import Engine
+from nf4_tpu.serve.sampling import SamplingParams
+from nf4_tpu.serve.speculative import propose_ngram
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = configs.TINY_TEST
+    params = init_params(cfg, seed=0)
+    return cfg, params
+
+
+class TestProposeNgram:
+    def test_finds_repeated_trigram(self):
+        # ... 5 6 7 8 9 ... 5 6 7 -> propose 8 9 (then pad)
+        ctx = [1, 2, 5, 6, 7, 8, 9, 3, 4, 5, 6, 7]
+        np.testing.assert_array_equal(propose_ngram(ctx, 2), [8, 9])
+
+    def test_prefers_last_occurrence(self):
+        # suffix (9,) occurs twice; the LAST earlier occurrence wins.
+        ctx = [9, 1, 9, 2, 9]
+        np.testing.assert_array_equal(propose_ngram(ctx, 1), [2])
+
+    def test_falls_back_to_shorter_ngram(self):
+        # no trigram/bigram recurrence, unigram 3 recurs -> its continuation
+        ctx = [3, 7, 1, 2, 3]
+        np.testing.assert_array_equal(propose_ngram(ctx, 1), [7])
+
+    def test_no_match_pads_with_last_token(self):
+        out = propose_ngram([1, 2, 3, 4], 3)
+        assert out.shape == (3,) and out.dtype == np.int32
+        np.testing.assert_array_equal(out, [4, 4, 4])
+
+    def test_short_continuation_padded(self):
+        # match near the end: the continuation runs to the end of the
+        # context ([9, 5, 6]) and is padded to k by repeating its tail.
+        ctx = [5, 6, 9, 5, 6]
+        np.testing.assert_array_equal(propose_ngram(ctx, 4), [9, 5, 6, 6])
+
+    def test_empty_and_single_token_contexts(self):
+        np.testing.assert_array_equal(propose_ngram([], 2), [0, 0])
+        np.testing.assert_array_equal(propose_ngram([7], 2), [7, 7])
+
+
+class TestSpeculativeEngine:
+    def test_greedy_identical_to_plain(self, setup):
+        """The exactness property, across continuous batching + refill."""
+        cfg, params = setup
+        # More prompts than slots, mixed lengths, one highly repetitive
+        # prompt (drafts will be accepted) and ordinary ones (rejected).
+        prompts = [
+            [1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2],
+            [4, 5],
+            [9],
+            [7, 8, 7, 8, 7, 8, 7],
+            [10, 11, 12, 13],
+        ]
+        plain = Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+            prompts, max_new_tokens=24
+        )
+        spec_eng = Engine(
+            params, cfg, batch_size=2, eos_token=-1, spec_k=4
+        )
+        spec = spec_eng.generate(prompts, max_new_tokens=24)
+        assert [r.tokens for r in spec] == [r.tokens for r in plain]
+        assert spec_eng.spec_stats["steps"] > 0
+        # Every verify step emits at least one token.
+        assert spec_eng.spec_stats["emitted"] >= spec_eng.spec_stats["steps"]
+
+    def test_logprobs_match_plain(self, setup):
+        cfg, params = setup
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [4, 5, 6]]
+        plain = Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+            prompts, max_new_tokens=10, return_logprobs=True
+        )
+        spec = Engine(
+            params, cfg, batch_size=2, eos_token=-1, spec_k=3
+        ).generate(prompts, max_new_tokens=10, return_logprobs=True)
+        for a, b in zip(spec, plain):
+            assert a.tokens == b.tokens
+            np.testing.assert_allclose(a.logprobs, b.logprobs, atol=1e-4)
+
+    def test_stop_token_mid_verify(self, setup):
+        """A stop token landing inside an accepted run must truncate the
+        output exactly where the plain engine stops."""
+        cfg, params = setup
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [5, 6, 7, 5, 6, 7, 5]]
+        plain_eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        plain = plain_eng.generate(prompts, max_new_tokens=16)
+        # Use a token the plain run actually generates as the stop token,
+        # so the speculative run must stop mid-stream on it.
+        stop = plain[0].tokens[len(plain[0].tokens) // 2]
+        plain2 = Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+            prompts, max_new_tokens=16, stop_tokens=[stop]
+        )
+        spec2 = Engine(
+            params, cfg, batch_size=2, eos_token=-1, spec_k=4
+        ).generate(prompts, max_new_tokens=16, stop_tokens=[stop])
+        assert [r.tokens for r in spec2] == [r.tokens for r in plain2]
+        assert [r.finished for r in spec2] == [r.finished for r in plain2]
+
+    def test_stochastic_sampling_falls_back(self, setup):
+        """temperature != 0 must bypass the speculative path entirely."""
+        cfg, params = setup
+        eng = Engine(
+            params,
+            cfg,
+            batch_size=2,
+            eos_token=-1,
+            spec_k=4,
+            sampling=SamplingParams(temperature=1.0),
+        )
+        out = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
+        assert eng.spec_stats["steps"] == 0
+        assert all(len(r.tokens) == 6 for r in out)
+
+    def test_repetitive_prompt_accepts_drafts(self, setup):
+        """On a purely periodic prompt the greedy continuation usually
+        locks into the period, and prompt lookup must then beat one
+        token per step on average."""
+        cfg, params = setup
+        # Single slot, long repetitive prompt, plenty of steps.
+        eng = Engine(params, cfg, batch_size=1, eos_token=-1, spec_k=4)
+        eng.generate([[1, 2, 3] * 6], max_new_tokens=32)
+        steps, emitted = (
+            eng.spec_stats["steps"],
+            eng.spec_stats["emitted"],
+        )
+        assert steps > 0
+        # Not guaranteed for arbitrary weights, but with this fixed seed
+        # the model's greedy continuation is eventually periodic; if this
+        # ever fails after a TINY_TEST change, relax to >= 1.0.
+        assert emitted / steps > 1.0
+
+
+class TestSpeculativeTP:
+    def test_tp_dp_mesh_identical_to_single_device(self, setup):
+        """spec verify through shard_mapped TP (+dp) must match the
+        single-device speculative engine token-for-token."""
+        import jax
+
+        from nf4_tpu.parallel.mesh import make_mesh
+        from nf4_tpu.parallel.tp import repack_tp
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 virtual devices")
+        cfg, params = setup
+        prompts = [[1, 2, 3, 1, 2, 3, 1, 2], [4, 5, 6], [7, 8], [9]]
+        single = Engine(
+            params, cfg, batch_size=2, eos_token=-1, spec_k=3
+        ).generate(prompts, max_new_tokens=12)
+
+        params_tp, cfg_tp = repack_tp(params, cfg, 2)
+        mesh = make_mesh(tp=2, dp=2)
+        eng = Engine(
+            params_tp, cfg_tp, batch_size=2, eos_token=-1, spec_k=3,
+            mesh=mesh,
+        )
+        tp_out = eng.generate(prompts, max_new_tokens=12)
+        assert [r.tokens for r in tp_out] == [r.tokens for r in single]
+        assert eng.spec_stats["steps"] > 0
