@@ -108,6 +108,20 @@ def _bcast_slot0(cache):
 
 
 @jax.jit
+def _slot0_row(cache):
+    """Extract slot 0's cache row (kept on device for cross-call reuse)."""
+    return jax.tree.map(lambda a: a[:, :1], cache)
+
+
+@jax.jit
+def _bcast_row(cache, row):
+    """Fill every slot of ``cache`` with the saved prefix ``row``."""
+    return jax.tree.map(
+        lambda a, r: jnp.broadcast_to(r, a.shape), cache, row
+    )
+
+
+@jax.jit
 def _mask_record(mask, toks, active):
     """Record emitted tokens in the device-resident [B, V] bool mask for
     rows where ``active`` (the mask never round-trips to host)."""
@@ -229,6 +243,10 @@ class Engine:
         # continuation prefill and decode only write positions >= Lp.
         self.prefix_cache = prefix_cache
         self.prefix_stats = {"prefix_len": 0, "tokens_saved": 0}
+        # Cross-call reuse: (prefix token tuple, device-resident KV row).
+        # A server with a fixed system prompt pays its prefill ONCE per
+        # engine lifetime, not once per generate() call.
+        self._prefix_saved = None
 
         if mesh is not None:
             from ..parallel.tp import (
@@ -449,23 +467,35 @@ class Engine:
             lcp = min(lcp, shortest - 1, cfg.max_seq_len - 2)
             if lcp >= 16:
                 prefix_len = lcp
-                ptoks = list(prompts[0])[:prefix_len]
-                bucket = min(_bucket(prefix_len), cfg.max_seq_len)
-                toks = np.zeros((1, bucket), dtype=np.int32)
-                toks[0, :prefix_len] = ptoks
-                _last, cache = self._prefill_g(
-                    self.params,
-                    jnp.asarray(toks),
-                    jnp.asarray([prefix_len], dtype=jnp.int32),
-                    cache,
-                    jnp.asarray([0], dtype=jnp.int32),
-                    jnp.asarray([0], dtype=jnp.int32),
-                    bucket=bucket,
-                )
-                cache = _bcast_slot0(cache)
+                ptoks = tuple(prompts[0][:prefix_len])
+                if (
+                    self._prefix_saved is not None
+                    and self._prefix_saved[0] == ptoks
+                ):
+                    # Same prefix as a previous generate() call: reuse the
+                    # saved KV row, no prefill at all.
+                    cache = _bcast_row(cache, self._prefix_saved[1])
+                    reused = True
+                else:
+                    bucket = min(_bucket(prefix_len), cfg.max_seq_len)
+                    toks = np.zeros((1, bucket), dtype=np.int32)
+                    toks[0, :prefix_len] = ptoks
+                    _last, cache = self._prefill_g(
+                        self.params,
+                        jnp.asarray(toks),
+                        jnp.asarray([prefix_len], dtype=jnp.int32),
+                        cache,
+                        jnp.asarray([0], dtype=jnp.int32),
+                        jnp.asarray([0], dtype=jnp.int32),
+                        bucket=bucket,
+                    )
+                    self._prefix_saved = (ptoks, _slot0_row(cache))
+                    cache = _bcast_slot0(cache)
+                    reused = False
                 self.prefix_stats = {
                     "prefix_len": prefix_len,
                     "tokens_saved": prefix_len * (len(prompts) - 1),
+                    "reused": reused,
                 }
 
         # Per-slot host state.

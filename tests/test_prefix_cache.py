@@ -60,6 +60,33 @@ def test_prefix_matches_plain_with_refill(setup):
         np.testing.assert_allclose(g.logprobs, w.logprobs, atol=1e-5)
 
 
+def test_cross_call_prefix_reuse(setup):
+    """A second generate() with the same prefix reuses the saved KV row
+    (no prefix prefill at all); a different prefix re-prefills."""
+    cfg, params = setup
+
+    eng = Engine(params, cfg, batch_size=2, eos_token=-1, prefix_cache=True)
+    first = eng.generate(_prompts(3), max_new_tokens=6)
+    assert eng.prefix_stats["reused"] is False
+
+    calls = []
+    orig = eng._prefill_g
+    eng._prefill_g = lambda *a, **kw: (calls.append(kw["bucket"]), orig(*a, **kw))[1]
+    second = eng.generate(_prompts(3), max_new_tokens=6)
+    assert eng.prefix_stats["reused"] is True
+    # Only the 3 continuation prefills ran — no prefix-sized bucket.
+    assert all(b < len(PREFIX) for b in calls)
+    assert [r.tokens for r in second] == [r.tokens for r in first]
+
+    other = [[9, 9] + PREFIX + [40 + i] for i in range(3)]
+    eng._prefill_g = orig
+    plain = Engine(params, cfg, batch_size=2, eos_token=-1)
+    want = [r.tokens for r in plain.generate(other, max_new_tokens=6)]
+    got = [r.tokens for r in eng.generate(other, max_new_tokens=6)]
+    assert eng.prefix_stats["reused"] is False
+    assert got == want
+
+
 def test_short_lcp_disables_prefix(setup):
     """An LCP under the 16-token floor must leave the plain path untouched."""
     cfg, params = setup
