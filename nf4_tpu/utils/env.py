@@ -13,6 +13,11 @@ real:
 * ``NF4TPU_INTERPRET``: ``1`` forces Pallas interpreter mode (debugging; the
   TPU analog of the reference's diagnostics fallback).
 * ``NF4TPU_MATMUL_TILE``: override fused-matmul tile sizes as ``bm,bks,bo``.
+* ``NF4TPU_NATIVE``: ``auto`` (default) | ``0`` | ``1`` — the C++ host
+  quantizer (``nf4.native``): ``0`` disables it, ``1`` makes a failed
+  build a hard error instead of an oracle fallback.  Read in
+  ``nf4/native.py`` (no jax import there, so it stays usable before
+  backend init).
 """
 
 from __future__ import annotations
