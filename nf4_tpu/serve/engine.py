@@ -30,7 +30,7 @@ from ..models.llama import (
     forward,
     init_kv_cache,
 )
-from .sampling import SamplingParams, sample
+from .sampling import BatchedSampling, SamplingParams, sample, sample_batched
 from .speculative import propose_ngram
 
 __all__ = ["Engine", "GenerationResult"]
@@ -159,10 +159,39 @@ def _decode_multi_impl(
     return toks, lps, cache, pos, mask
 
 
+def _decode_multi_impl_batched(
+    params, token, cache, positions, gen_mask, keys, bp, *, step, n_steps
+):
+    """Per-request variant of :func:`_decode_multi_impl`: sampling
+    parameters arrive as a traced :class:`BatchedSampling` pytree (one row
+    per slot), so ONE compilation per chunk length serves every parameter
+    mix."""
+
+    def body(carry, key_i):
+        tok, cache, pos, mask = carry
+        logits, cache = step(params, token=tok, cache=cache, positions=pos)
+        lg = logits.astype(jnp.float32)
+        nxt = sample_batched(lg, bp, key_i, generated_mask=mask)
+        lp = jax.nn.log_softmax(lg, axis=-1)[
+            jnp.arange(lg.shape[0]), nxt
+        ]
+        if mask is not None:
+            mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
+        return (nxt, cache, pos + 1, mask), (nxt, lp)
+
+    (tok, cache, pos, mask), (toks, lps) = jax.lax.scan(
+        body, (token, cache, positions, gen_mask), keys, length=n_steps
+    )
+    return toks, lps, cache, pos, mask
+
+
 @jax.jit
 def _mask_reset(mask, slots, toks):
     """Clear rows ``slots`` and record their first generated tokens."""
     return mask.at[slots].set(False).at[slots, toks].set(True)
+
+
+_sample_batched_jit = jax.jit(sample_batched)
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -189,9 +218,12 @@ class Engine:
     replicated over dp (grouped prefill shapes are not generally divisible
     by dp; the hot decode loop is where dp throughput matters).
 
-    ``spec_k > 0`` enables prompt-lookup speculative decoding (greedy only;
-    serve/speculative.py) and ``prefix_cache=True`` enables shared-prefix
-    prefill reuse — both are token-identical to the plain paths.
+    ``spec_k > 0`` enables prompt-lookup speculative decoding
+    (serve/speculative.py): token-identical to plain decode for greedy
+    requests, distribution-preserving rejection sampling for stochastic
+    ones (only the repetition penalty falls back to normal decode).
+    ``prefix_cache=True`` enables shared-prefix prefill reuse
+    (token-identical).
     """
 
     def __init__(
@@ -222,15 +254,18 @@ class Engine:
         # sequence than single-stepping; greedy output is identical.
         self.decode_chunk = decode_chunk
         self._decode_multi_cache = {}
+        self._decode_multi_b_cache = {}
         # Speculative decoding (prompt-lookup drafts, serve/speculative.py):
-        # verify spec_k drafted tokens per forward when sampling is greedy
-        # and every slot is busy.  0 disables.  spec_k must stay below the
-        # minimum prefill bucket (16) so a refill prefill always overwrites
-        # the garbage an idle slot's verify wrote at positions 0..spec_k.
+        # verify spec_k drafted tokens per forward when every slot is busy
+        # (greedy accept rule, or rejection sampling for stochastic
+        # requests).  0 disables.  spec_k must stay below the minimum
+        # prefill bucket (16) so a refill prefill always overwrites the
+        # garbage an idle slot's verify wrote at positions 0..spec_k.
         assert 0 <= spec_k < 16, "spec_k must be in [0, 16)"
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self._spec_cache = {}
+        self._spec_sampled_cache = {}
         # Observability: verify steps taken / tokens emitted through them
         # (ratio emitted/steps = mean tokens per verify = the speedup lever).
         self.spec_stats = {"steps": 0, "emitted": 0}
@@ -434,21 +469,59 @@ class Engine:
         self,
         prompts: Sequence[Sequence[int]],
         max_new_tokens: int = 64,
-        sampling: Optional[SamplingParams] = None,
+        sampling=None,
         return_logprobs: bool = False,
         stop_tokens: Optional[Sequence[int]] = None,
         on_token=None,
     ) -> List[GenerationResult]:
         """Generate completions for all prompts with continuous batching.
 
+        ``sampling`` is a single :class:`SamplingParams` for the whole
+        call, or one per prompt (a sequence, ``None`` entries defaulting
+        to the engine's) — per-request parameters ride a traced
+        ``BatchedSampling`` pytree, so the decode program compiles once
+        per chunk length, not once per parameter mix.
         ``return_logprobs=True`` also records log P(token | prefix) for each
         generated token.  ``stop_tokens`` adds extra end-of-sequence ids on
-        top of the engine's ``eos_token``.  ``on_token(request_idx, token)``,
+        top of the engine's ``eos_token``; each request's
+        ``SamplingParams.stop_tokens`` adds its own on top of that, and
+        ``SamplingParams.max_new_tokens`` overrides the call-level budget
+        for that request (both are host-side scheduler controls — they
+        never enter a compiled program).  ``on_token(request_idx, token)``,
         when given, is called as each token is emitted (streaming)."""
-        sampling = sampling or self.sampling
+        if sampling is None:
+            sampling = self.sampling
+        if isinstance(sampling, SamplingParams):
+            per_req = None
+        else:
+            per_req = [
+                p if p is not None else self.sampling for p in sampling
+            ]
+            assert len(per_req) == len(prompts), (
+                f"per-request sampling needs one SamplingParams per prompt "
+                f"(got {len(per_req)} for {len(prompts)} prompts)"
+            )
+            sampling = self.sampling  # only per_req drives sampling below
         cfg = self.cfg
         B = self.batch_size
-        stops = {self.eos_token} | set(stop_tokens or ())
+        base_stops = frozenset({self.eos_token} | set(stop_tokens or ()))
+
+        def _sp_for(r: int) -> SamplingParams:
+            return per_req[r] if per_req is not None else sampling
+
+        req_stops = [
+            base_stops | set(_sp_for(r).stop_tokens)
+            for r in range(len(prompts))
+        ]
+        req_budget = [
+            _sp_for(r).max_new_tokens
+            if _sp_for(r).max_new_tokens is not None
+            else max_new_tokens
+            for r in range(len(prompts))
+        ]
+        assert all(b >= 1 for b in req_budget), (
+            "max_new_tokens must be >= 1 for every request"
+        )
 
         queue = list(range(len(prompts)))
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
@@ -507,10 +580,17 @@ class Engine:
         # Emitted-token mask per slot for the repetition penalty (opt-in).
         # DEVICE-resident: updated with one scatter per step instead of
         # re-uploading a [B, vocab] host array every decode step.
-        use_rep = sampling.repetition_penalty != 1.0
+        use_rep = (
+            sampling.repetition_penalty != 1.0
+            if per_req is None
+            else any(p.repetition_penalty != 1.0 for p in per_req)
+        )
         gen_mask = (
             jnp.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
         )
+        # Per-slot sampling params (per-request mode); idle slots keep a
+        # harmless default — their sampled tokens are discarded anyway.
+        slot_sp: List[SamplingParams] = [SamplingParams()] * B
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
@@ -560,13 +640,28 @@ class Engine:
                         jnp.full((g,), prefix_len, dtype=jnp.int32),
                         bucket=bucket,
                     )
-                    first = np.asarray(self._sample(last_logits, sampling))
+                    if per_req is None:
+                        first = np.asarray(
+                            self._sample(last_logits, sampling)
+                        )
+                    else:
+                        for s_, r_, _p, _b in chunk:
+                            slot_sp[s_] = per_req[r_]
+                        first = np.asarray(
+                            self._sample_perreq(
+                                last_logits,
+                                [per_req[r_] for _s, r_, _p, _b in chunk],
+                            )
+                        )
                     if return_logprobs:
                         lps = np.asarray(_token_logprobs(last_logits, first))
                     for j, (s, _r, prompt, _b) in enumerate(chunk):
                         slot_pos[s] = len(prompt)
                         slot_generated[s] = [int(first[j])]
-                        if on_token is not None and int(first[j]) not in stops:
+                        if (
+                            on_token is not None
+                            and int(first[j]) not in req_stops[_r]
+                        ):
                             on_token(_r, int(first[j]))
                         slot_logprobs[s] = (
                             [float(lps[j])] if return_logprobs else []
@@ -586,8 +681,8 @@ class Engine:
                 if r == -1:
                     continue
                 gen = slot_generated[s]
-                done_eos = bool(gen) and gen[-1] in stops
-                done_len = len(gen) >= max_new_tokens
+                done_eos = bool(gen) and gen[-1] in req_stops[r]
+                done_len = len(gen) >= req_budget[r]
                 done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
                 if done_eos or done_len or done_ctx:
                     out = gen[:-1] if done_eos else gen
@@ -602,15 +697,20 @@ class Engine:
             if not any(r != -1 for r in slot_req):
                 break
 
-            # Speculative fast path (greedy only): draft spec_k tokens per
-            # slot by prompt lookup, verify them all in ONE forward, emit
-            # the matched prefix + 1 — between 1 and spec_k+1 tokens per
-            # weight pass.  Token-identical to plain greedy decode (the
-            # accept rule keeps only drafts the model itself would emit).
+            # Speculative fast path: draft spec_k tokens per slot by prompt
+            # lookup, verify them all in ONE forward, emit the accepted
+            # prefix + 1 — between 1 and spec_k+1 tokens per weight pass.
+            # Greedy requests are token-identical to plain decode;
+            # stochastic requests go through distribution-preserving
+            # rejection sampling (spec_verify_sampled).  Only the
+            # repetition penalty opts a call out (its token mask would
+            # have to evolve across unaccepted draft positions).
+            active_sps = [sampling] if per_req is None else per_req
+            spec_ok = all(p.repetition_penalty == 1.0 for p in active_sps)
+            spec_greedy = all(p.temperature == 0.0 for p in active_sps)
             if (
                 self.spec_k > 0
-                and sampling.temperature == 0.0
-                and sampling.repetition_penalty == 1.0
+                and spec_ok
                 and all(r != -1 for r in slot_req)
                 and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
             ):
@@ -619,19 +719,37 @@ class Engine:
                 for s in range(B):
                     ctx = list(prompts[slot_req[s]]) + slot_generated[s]
                     drafts[s] = propose_ngram(ctx, k, self.spec_ngram)
-                targets_d, acc_d, lps_d, cache = self._spec_verify(k)(
-                    self.params,
-                    jnp.asarray(cur_token),
-                    jnp.asarray(drafts),
-                    cache,
-                    jnp.asarray(slot_pos),
-                )
+                if spec_greedy:
+                    targets_d, acc_d, lps_d, cache = self._spec_verify(k)(
+                        self.params,
+                        jnp.asarray(cur_token),
+                        jnp.asarray(drafts),
+                        cache,
+                        jnp.asarray(slot_pos),
+                    )
+                else:
+                    sps_now = (
+                        slot_sp if per_req is not None else [sampling] * B
+                    )
+                    self._key, sub = jax.random.split(self._key)
+                    targets_d, acc_d, lps_d, cache = (
+                        self._spec_verify_sampled(k)(
+                            self.params,
+                            jnp.asarray(cur_token),
+                            jnp.asarray(drafts),
+                            cache,
+                            jnp.asarray(slot_pos),
+                            sub,
+                            BatchedSampling.stack(sps_now),
+                        )
+                    )
                 targets = np.asarray(targets_d)  # [B, k+1]
                 acc = np.asarray(acc_d)  # [B]
                 if return_logprobs:
                     lps = np.asarray(lps_d)
                 self.spec_stats["steps"] += 1
                 for s in range(B):
+                    r = slot_req[s]
                     n_emit = int(acc[s]) + 1
                     # Same mid-chunk invariant as the multi-step path: a
                     # stop or budget hit inside the emitted run leaves
@@ -644,10 +762,10 @@ class Engine:
                         self.spec_stats["emitted"] += 1
                         if return_logprobs:
                             slot_logprobs[s].append(float(lps[s, i]))
-                        if on_token is not None and t not in stops:
-                            on_token(slot_req[s], t)
-                        if t in stops or (
-                            len(slot_generated[s]) >= max_new_tokens
+                        if on_token is not None and t not in req_stops[r]:
+                            on_token(r, t)
+                        if t in req_stops[r] or (
+                            len(slot_generated[s]) >= req_budget[r]
                         ):
                             break
                     slot_pos[s] += n_emit
@@ -661,28 +779,47 @@ class Engine:
             # a stop within the chunk are discarded host-side.
             if self.decode_chunk > 1 and all(r != -1 for r in slot_req):
                 rem = min(
-                    max_new_tokens - len(slot_generated[s]) for s in range(B)
+                    req_budget[slot_req[s]] - len(slot_generated[s])
+                    for s in range(B)
                 )
                 ctx_room = int(cfg.max_seq_len - 1 - slot_pos.max())
                 # Fixed chunk size only (each distinct n compiles its own
                 # program); the tail of a budget single-steps.
                 n = self.decode_chunk
                 if rem >= n and ctx_room >= n:
-                    if sampling.temperature != 0.0:
+                    stoch = (
+                        sampling.temperature != 0.0
+                        if per_req is None
+                        else any(p.temperature != 0.0 for p in slot_sp)
+                    )
+                    if stoch:
                         self._key, sub = jax.random.split(self._key)
                         keys = jax.random.split(sub, n)
                     else:
                         keys = jax.random.split(jax.random.PRNGKey(0), n)
-                    toks_d, lps_d, cache, _pos_d, gen_mask = self._decode_multi(
-                        sampling, n
-                    )(
-                        self.params,
-                        jnp.asarray(cur_token),
-                        cache,
-                        jnp.asarray(slot_pos),
-                        gen_mask,
-                        keys,
-                    )
+                    if per_req is None:
+                        toks_d, lps_d, cache, _pos_d, gen_mask = (
+                            self._decode_multi(sampling, n)(
+                                self.params,
+                                jnp.asarray(cur_token),
+                                cache,
+                                jnp.asarray(slot_pos),
+                                gen_mask,
+                                keys,
+                            )
+                        )
+                    else:
+                        toks_d, lps_d, cache, _pos_d, gen_mask = (
+                            self._decode_multi_b(n)(
+                                self.params,
+                                jnp.asarray(cur_token),
+                                cache,
+                                jnp.asarray(slot_pos),
+                                gen_mask,
+                                keys,
+                                BatchedSampling.stack(slot_sp),
+                            )
+                        )
                     toks = np.asarray(toks_d)  # [n, B]
                     if return_logprobs:
                         lps = np.asarray(lps_d)
@@ -694,15 +831,16 @@ class Engine:
                     # keep that ordering if refactoring refill/retire.
                     slot_pos += n
                     for s in range(B):
+                        r = slot_req[s]
                         for i in range(n):
                             t = int(toks[i, s])
                             slot_generated[s].append(t)
                             if return_logprobs:
                                 slot_logprobs[s].append(float(lps[i, s]))
-                            if on_token is not None and t not in stops:
-                                on_token(slot_req[s], t)
-                            if t in stops or (
-                                len(slot_generated[s]) >= max_new_tokens
+                            if on_token is not None and t not in req_stops[r]:
+                                on_token(r, t)
+                            if t in req_stops[r] or (
+                                len(slot_generated[s]) >= req_budget[r]
                             ):
                                 break
                         cur_token[s] = int(toks[n - 1, s])
@@ -716,7 +854,10 @@ class Engine:
                 cache=cache,
                 positions=jnp.asarray(slot_pos),
             )
-            next_dev = self._sample(logits, sampling, gen_mask)
+            if per_req is None:
+                next_dev = self._sample(logits, sampling, gen_mask)
+            else:
+                next_dev = self._sample_perreq(logits, slot_sp, gen_mask)
             next_tok = np.asarray(next_dev)
             if return_logprobs:
                 step_lps = np.asarray(_token_logprobs(logits, next_tok))
@@ -729,35 +870,64 @@ class Engine:
             cur_token[active] = next_tok[active]
 
             for s in np.nonzero(active)[0]:
+                r = slot_req[s]
                 slot_generated[s].append(int(next_tok[s]))
                 if return_logprobs:
                     slot_logprobs[s].append(float(step_lps[s]))
-                if on_token is not None and int(next_tok[s]) not in stops:
-                    on_token(slot_req[s], int(next_tok[s]))
+                if (
+                    on_token is not None
+                    and int(next_tok[s]) not in req_stops[r]
+                ):
+                    on_token(r, int(next_tok[s]))
 
         return [r for r in results if r is not None]
+
+    def _spec_fwd(self):
+        if self.mesh is not None:
+            return functools.partial(
+                _tp_fwd_wrap,
+                cfg=self.cfg,
+                mesh=self.mesh,
+                axis=self.tp_axis,
+                data_axis=self.data_axis,
+            )
+        return functools.partial(_fwd_wrap, cfg=self.cfg)
 
     def _spec_verify(self, k: int):
         fn = self._spec_cache.get(k)
         if fn is None:
             from .speculative import spec_verify
 
-            if self.mesh is not None:
-                fwd = functools.partial(
-                    _tp_fwd_wrap,
-                    cfg=self.cfg,
-                    mesh=self.mesh,
-                    axis=self.tp_axis,
-                    data_axis=self.data_axis,
-                )
-            else:
-                fwd = functools.partial(_fwd_wrap, cfg=self.cfg)
-            fn = jax.jit(functools.partial(spec_verify, fwd=fwd, k=k))
+            fn = jax.jit(
+                functools.partial(spec_verify, fwd=self._spec_fwd(), k=k)
+            )
             self._spec_cache[k] = fn
         return fn
 
+    def _spec_verify_sampled(self, k: int):
+        fn = self._spec_sampled_cache.get(k)
+        if fn is None:
+            from .speculative import spec_verify_sampled
+
+            fn = jax.jit(
+                functools.partial(
+                    spec_verify_sampled, fwd=self._spec_fwd(), k=k
+                )
+            )
+            self._spec_sampled_cache[k] = fn
+        return fn
+
     def _decode_multi(self, sampling: SamplingParams, n_steps: int):
-        key = (sampling, n_steps)
+        # Key on the device-relevant fields only: host-side scheduler
+        # fields (stop_tokens, max_new_tokens) never enter the program.
+        key = (
+            sampling.temperature,
+            sampling.top_k,
+            sampling.top_p,
+            sampling.min_p,
+            sampling.repetition_penalty,
+            n_steps,
+        )
         fn = self._decode_multi_cache.get(key)
         if fn is None:
             fn = jax.jit(
@@ -769,6 +939,21 @@ class Engine:
                 )
             )
             self._decode_multi_cache[key] = fn
+        return fn
+
+    def _decode_multi_b(self, n_steps: int):
+        """Per-request multi-step decode: one compilation per chunk length
+        (the BatchedSampling pytree is traced, not baked in)."""
+        fn = self._decode_multi_b_cache.get(n_steps)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    _decode_multi_impl_batched,
+                    step=self._decode,
+                    n_steps=n_steps,
+                )
+            )
+            self._decode_multi_b_cache[n_steps] = fn
         return fn
 
     def _sample(
@@ -783,3 +968,13 @@ class Engine:
             return sample(logits, sampling, generated_mask=mask)
         self._key, sub = jax.random.split(self._key)
         return sample(logits, sampling, sub, generated_mask=mask)
+
+    def _sample_perreq(self, logits, sps, gen_mask=None):
+        """Sample [B] tokens with row-wise params; draws one key for the
+        whole batch only when some row is stochastic."""
+        mask = jnp.asarray(gen_mask) if gen_mask is not None else None
+        bp = BatchedSampling.stack(sps)
+        if all(p.temperature == 0.0 for p in sps):
+            return _sample_batched_jit(logits, bp, None, mask)
+        self._key, sub = jax.random.split(self._key)
+        return _sample_batched_jit(logits, bp, sub, mask)

@@ -3,12 +3,18 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingParams", "sample"]
+__all__ = [
+    "SamplingParams",
+    "sample",
+    "BatchedSampling",
+    "sample_batched",
+    "filter_logits_batched",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -23,6 +29,14 @@ class SamplingParams:
     # discourages repeats; 1 => disabled).  Applied to positive logits as
     # division and negative as multiplication, the standard CTRL rule.
     repetition_penalty: float = 1.0
+    # Host-side per-request controls (checked by the engine's scheduler,
+    # never traced into device programs):
+    # extra end-of-sequence token ids on top of the engine's eos_token and
+    # generate()'s stop_tokens argument.
+    stop_tokens: tuple = ()
+    # Generation budget override; None defers to generate()'s
+    # max_new_tokens argument.
+    max_new_tokens: Optional[int] = None
 
 
 def apply_repetition_penalty(
@@ -78,3 +92,104 @@ def sample(
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
 
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+class BatchedSampling(NamedTuple):
+    """Per-row sampling parameters as device arrays (a jit-traceable
+    pytree) — the engine's per-request sampling representation.  Field
+    semantics match :class:`SamplingParams` row-wise; a disabled filter
+    (top_k 0, top_p 1, min_p 0, penalty 1) leaves that row untouched."""
+
+    temperature: jax.Array  # [B] fp32
+    top_k: jax.Array  # [B] int32
+    top_p: jax.Array  # [B] fp32
+    min_p: jax.Array  # [B] fp32
+    repetition_penalty: jax.Array  # [B] fp32
+
+    @staticmethod
+    def stack(params: Sequence[SamplingParams]) -> "BatchedSampling":
+        return BatchedSampling(
+            temperature=jnp.asarray(
+                [p.temperature for p in params], jnp.float32
+            ),
+            top_k=jnp.asarray([p.top_k for p in params], jnp.int32),
+            top_p=jnp.asarray([p.top_p for p in params], jnp.float32),
+            min_p=jnp.asarray([p.min_p for p in params], jnp.float32),
+            repetition_penalty=jnp.asarray(
+                [p.repetition_penalty for p in params], jnp.float32
+            ),
+        )
+
+
+def filter_logits_batched(
+    logits: jax.Array,  # [B, V] fp32 (repetition penalty already applied)
+    bp: BatchedSampling,
+) -> jax.Array:
+    """Row-wise temperature scaling + top-k / min-p / top-p filtering.
+
+    Returns logits with filtered-out entries at -inf; ``softmax`` of the
+    result is each row's target sampling distribution (greedy rows are
+    scaled by temperature 1 and left unfiltered — callers special-case
+    them with argmax).  Factored out of :func:`sample_batched` so the
+    speculative rejection sampler scores draft tokens against exactly
+    the distribution the engine samples from.
+    """
+    v = logits.shape[-1]
+    greedy = bp.temperature == 0.0  # [B]
+    lg = logits / jnp.where(greedy, 1.0, bp.temperature)[:, None]
+
+    k = jnp.clip(bp.top_k, 0, v)
+    sorted_asc = jnp.sort(lg, axis=-1)
+    kth = jnp.take_along_axis(
+        sorted_asc, jnp.clip(v - k, 0, v - 1)[:, None], axis=-1
+    )
+    lg = jnp.where((k > 0)[:, None] & (lg < kth), -jnp.inf, lg)
+
+    probs = jax.nn.softmax(lg, axis=-1)
+    cutoff = bp.min_p[:, None] * probs.max(axis=-1, keepdims=True)
+    lg = jnp.where(
+        (bp.min_p > 0.0)[:, None] & (probs < cutoff), -jnp.inf, lg
+    )
+
+    sorted_desc = jnp.sort(lg, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < bp.top_p[:, None]
+    threshold = jnp.min(
+        jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(
+        (bp.top_p < 1.0)[:, None] & (lg < threshold), -jnp.inf, lg
+    )
+
+
+def sample_batched(
+    logits: jax.Array,  # [B, V] fp32
+    bp: BatchedSampling,
+    key: Optional[jax.Array] = None,
+    generated_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Row-wise :func:`sample`: each row uses its own parameters.
+
+    The math mirrors the scalar path op-for-op (disabled filters reduce
+    to identity), so a batch of identical parameters produces exactly the
+    tokens the scalar path would with the same key.  Greedy rows
+    (temperature 0) take their argmax regardless of ``key``.
+    """
+    logits = logits.astype(jnp.float32)
+    if generated_mask is not None:
+        pen = bp.repetition_penalty[:, None]
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(
+            generated_mask & (pen != 1.0), penalized, logits
+        )
+
+    greedy = bp.temperature == 0.0  # [B]
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        # All-greedy fast path (the engine only omits the key then).
+        return greedy_tok
+
+    lg = filter_logits_batched(logits, bp)
+    stoch_tok = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy, greedy_tok, stoch_tok)

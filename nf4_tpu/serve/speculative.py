@@ -15,10 +15,21 @@ to pay off (summarization, code editing, RAG — anything that re-emits
 spans of its input); on text with no self-overlap the drafts are simply
 rejected and the engine degrades to ~1 token per verify step.
 
-Greedy-only by construction: with temperature 0 the accept rule below
-reproduces plain greedy decode token-for-token (tests assert identity).
-Stochastic sampling would need distribution-preserving rejection
-sampling; the engine falls back to normal decode when temperature != 0.
+Two accept rules, one per sampling regime:
+
+* greedy (:func:`spec_verify`): accept a draft iff it equals the model's
+  argmax — token-identical to plain greedy decode (tests assert it);
+* stochastic (:func:`spec_verify_sampled`): distribution-preserving
+  rejection sampling against the request's filtered sampling
+  distribution.  Prompt-lookup drafts are deterministic (a point mass
+  ``q = onehot(d)``), so the classic speculative-sampling rule reduces
+  to: accept draft ``d`` with probability ``p(d)``; on rejection sample
+  from the residual ``p`` with ``d`` removed (renormalized).  The
+  emitted marginal is exactly ``p`` at every position (the standard
+  speculative-sampling theorem; tests/test_spec_sampling.py checks the
+  marginal empirically).  Only the repetition penalty is excluded (its
+  token mask would have to evolve across unaccepted draft positions);
+  the engine falls back to normal decode when any request uses it.
 
 The reference package has no serving loop at all (its concurrency is
 three CUDA streams in ``benchmark.py:68-84``); this subsystem exists to
@@ -34,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["propose_ngram", "spec_verify"]
+__all__ = ["propose_ngram", "spec_verify", "spec_verify_sampled"]
 
 
 def propose_ngram(
@@ -107,6 +118,84 @@ def spec_verify(params, cur_token, drafts, cache, slot_pos, *, fwd, k):
     targets = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, k+1]
     match = (drafts == targets[:, :-1]).astype(jnp.int32)
     accepted = jnp.cumprod(match, axis=1).sum(axis=1)  # [B] in 0..k
+    lps = jnp.take_along_axis(
+        jax.nn.log_softmax(lg, axis=-1), targets[..., None], axis=-1
+    )[..., 0]
+    return targets, accepted, lps, cache
+
+
+def spec_verify_sampled(
+    params, cur_token, drafts, cache, slot_pos, key, bp, *, fwd, k
+):
+    """Stochastic counterpart of :func:`spec_verify` (jit this).
+
+    ``bp`` is a :class:`sampling.BatchedSampling` pytree (one row per
+    slot).  Deterministic drafts make the speculative-sampling accept
+    rule ``u < p_i(d_i)`` with ``p_i`` the row's FILTERED sampling
+    distribution at position ``i`` (temperature / top-k / min-p / top-p
+    — :func:`sampling.filter_logits_batched`, the same pipeline the
+    engine samples from).  On the first rejection the emitted token is
+    drawn from the residual ``p_i`` with the draft removed; after k
+    accepts a bonus token is drawn from ``p_k``.  Greedy rows
+    (temperature 0) reduce exactly to :func:`spec_verify`'s rule, so
+    mixed batches are fine.
+
+    Same return/cache contract as :func:`spec_verify`: slot ``s`` emits
+    ``targets[s, : accepted[s] + 1]``; positions past ``accepted`` hold
+    unemitted draft tokens.
+    """
+    from .sampling import BatchedSampling, filter_logits_batched
+
+    b_sz = cur_token.shape[0]
+    toks = jnp.concatenate([cur_token[:, None], drafts], axis=1)  # [B,k+1]
+    pos = slot_pos[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    seq_lens = slot_pos + (k + 1)
+    logits, cache = fwd(params, toks, cache, pos, seq_lens)
+    lg = logits.astype(jnp.float32)  # [B, k+1, V]
+    v = lg.shape[-1]
+    argmax_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, k+1]
+    greedy = bp.temperature == 0.0  # [B]
+
+    # Filter every position with its row's parameters ([B*(k+1), V] with
+    # each row's params repeated k+1 times, matching C-order reshape).
+    bp_rep = BatchedSampling(*(jnp.repeat(f, k + 1) for f in bp))
+    filt = filter_logits_batched(lg.reshape(b_sz * (k + 1), v), bp_rep)
+    filt = filt.reshape(b_sz, k + 1, v)
+    p = jax.nn.softmax(filt, axis=-1)
+
+    u_key, res_key, bonus_key = jax.random.split(key, 3)
+    # Accept rule per draft position.
+    pd = jnp.take_along_axis(p[:, :k], drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(u_key, (b_sz, k))
+    accept = jnp.where(
+        greedy[:, None], drafts == argmax_tok[:, :k], u < pd
+    )
+    accepted = jnp.cumprod(accept.astype(jnp.int32), axis=1).sum(axis=1)
+
+    # Residual draw for each draft position (only the first rejected one
+    # is emitted) and the bonus draw after k accepts.  A fully-collapsed
+    # row (p(d) == 1, all else -inf) can't reject, so the all--inf
+    # residual row is never selected.
+    res_logits = jnp.where(
+        jax.nn.one_hot(drafts, v, dtype=bool), -jnp.inf, filt[:, :k]
+    )
+    res_tok = jax.random.categorical(
+        res_key, res_logits.reshape(b_sz * k, v), axis=-1
+    ).reshape(b_sz, k).astype(jnp.int32)
+    bonus_tok = jax.random.categorical(
+        bonus_key, filt[:, k], axis=-1
+    ).astype(jnp.int32)
+
+    chosen = jnp.where(
+        greedy[:, None],
+        argmax_tok,
+        jnp.concatenate([res_tok, bonus_tok[:, None]], axis=1),
+    )  # [B, k+1] — the token emitted IF the step ends at that position
+    chosen_at = jnp.take_along_axis(chosen, accepted[:, None], axis=1)
+    pos_idx = jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    full = jnp.concatenate([drafts, chosen[:, k:]], axis=1)
+    targets = jnp.where(pos_idx == accepted[:, None], chosen_at, full)
+
     lps = jnp.take_along_axis(
         jax.nn.log_softmax(lg, axis=-1), targets[..., None], axis=-1
     )[..., 0]

@@ -114,8 +114,11 @@ class TestSpeculativeEngine:
         assert [r.tokens for r in spec2] == [r.tokens for r in plain2]
         assert [r.finished for r in spec2] == [r.finished for r in plain2]
 
-    def test_stochastic_sampling_falls_back(self, setup):
-        """temperature != 0 must bypass the speculative path entirely."""
+    def test_stochastic_sampling_takes_sampled_spec_path(self, setup):
+        """temperature != 0 routes through the rejection-sampling verifier
+        (spec_verify_sampled) — spec steps still happen; only the
+        repetition penalty bypasses speculation (covered in
+        test_spec_sampling.py)."""
         cfg, params = setup
         eng = Engine(
             params,
@@ -126,7 +129,7 @@ class TestSpeculativeEngine:
             sampling=SamplingParams(temperature=1.0),
         )
         out = eng.generate([[1, 2, 3], [4, 5]], max_new_tokens=6)
-        assert eng.spec_stats["steps"] == 0
+        assert eng.spec_stats["steps"] > 0
         assert all(len(r.tokens) == 6 for r in out)
 
     def test_repetitive_prompt_accepts_drafts(self, setup):
