@@ -1,0 +1,312 @@
+"""HTTP serving front door: an OpenAI-style completions endpoint.
+
+Stdlib-only (``http.server`` + threads — no new dependencies), sitting on
+top of :class:`serve.engine.Engine`:
+
+* ``POST /v1/completions`` — ``{"prompt": [ids] | "text", "max_tokens",
+  "temperature", "top_k", "top_p", "min_p", "repetition_penalty",
+  "stop": [ids], "logprobs": bool, "stream": bool}``.  String prompts
+  need the server to be constructed with a tokenizer (anything with
+  ``encode(str) -> ids`` / ``decode(ids) -> str`` — a HF tokenizer fits).
+* ``GET /v1/models`` and ``GET /health``.
+* ``"stream": true`` responds with server-sent events (one ``data:`` JSON
+  line per token, then ``data: [DONE]``), fed by the engine's
+  ``on_token`` streaming callback.
+
+Scheduling: HTTP handler threads enqueue requests; ONE dispatcher thread
+drains the queue and runs each wave as a single ``Engine.generate`` call
+with **per-request SamplingParams** — so concurrent requests with
+different temperatures/budgets share one compiled decode program and the
+engine's continuous batching (slot refill) handles intra-wave length
+variance.  Requests arriving while a wave runs batch into the next wave
+(dynamic batching).  TPU work stays on the dispatcher thread; handler
+threads only tokenize, wait, and serialize.
+
+The reference package serves nothing (it is a dequantization kernel —
+SURVEY.md §2); this module exists because a standalone serving framework
+needs a network boundary, and it doubles as the end-to-end exercise of
+the per-request sampling machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Sequence
+
+from .engine import Engine
+from .sampling import SamplingParams
+
+__all__ = ["CompletionServer", "serve_http"]
+
+
+@dataclass
+class _Pending:
+    """One queued completion request and its rendezvous state."""
+
+    tokens: List[int]
+    params: SamplingParams
+    logprobs: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[str] = None
+    # Streaming: tokens are pushed here as emitted; None terminates.
+    stream_q: Optional[queue.Queue] = None
+
+
+def _params_from_body(body: Dict[str, Any]) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(body.get("temperature", 0.0)),
+        top_k=int(body.get("top_k", 0)),
+        top_p=float(body.get("top_p", 1.0)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        stop_tokens=tuple(body.get("stop", ()) or ()),
+        max_new_tokens=int(body.get("max_tokens", 64)),
+    )
+
+
+class CompletionServer:
+    """Engine + dispatcher + HTTP server (see module docstring).
+
+    ``tokenizer`` is optional; without it, prompts must be token-id
+    lists and responses carry only token ids.
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        tokenizer=None,
+        model_name: str = "nf4-tpu",
+        max_wave: int = 64,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.max_wave = max_wave
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="nf4-dispatcher", daemon=True
+        )
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self.stats = {"requests": 0, "waves": 0, "tokens_out": 0}
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _dispatch_loop(self):
+        while not self._shutdown.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            wave = [first]
+            while len(wave) < self.max_wave:
+                try:
+                    wave.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            self._run_wave(wave)
+
+    def _run_wave(self, wave: List[_Pending]):
+        self.stats["waves"] += 1
+        streams = {
+            i: p.stream_q for i, p in enumerate(wave) if p.stream_q is not None
+        }
+
+        def on_token(req_idx: int, tok: int):
+            q = streams.get(req_idx)
+            if q is not None:
+                q.put(tok)
+
+        try:
+            results = self.engine.generate(
+                [p.tokens for p in wave],
+                # Per-request budgets ride SamplingParams.max_new_tokens;
+                # the call-level value is only a fallback.
+                max_new_tokens=max(
+                    p.params.max_new_tokens or 64 for p in wave
+                ),
+                sampling=[p.params for p in wave],
+                return_logprobs=any(p.logprobs for p in wave),
+                on_token=on_token if streams else None,
+            )
+        except Exception as e:  # surface engine failures to every waiter
+            for p in wave:
+                p.error = f"{type(e).__name__}: {e}"
+                if p.stream_q is not None:
+                    p.stream_q.put(None)
+                p.done.set()
+            return
+        for p, r in zip(wave, results):
+            p.result = r
+            self.stats["tokens_out"] += len(r.tokens)
+            if p.stream_q is not None:
+                p.stream_q.put(None)
+            p.done.set()
+
+    # -- request entry ------------------------------------------------------
+
+    def submit(self, body: Dict[str, Any]) -> _Pending:
+        prompt = body.get("prompt")
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "string prompt but the server has no tokenizer; "
+                    "send token ids"
+                )
+            tokens = list(self.tokenizer.encode(prompt))
+        elif isinstance(prompt, (list, tuple)) and all(
+            isinstance(t, int) for t in prompt
+        ):
+            tokens = list(prompt)
+        else:
+            raise ValueError("prompt must be a string or a list of token ids")
+        pending = _Pending(
+            tokens=tokens,
+            params=_params_from_body(body),
+            logprobs=bool(body.get("logprobs", False)),
+            stream_q=queue.Queue() if body.get("stream") else None,
+        )
+        self.stats["requests"] += 1
+        self._queue.put(pending)
+        return pending
+
+    def _decode_text(self, ids: Sequence[int]) -> Optional[str]:
+        if self.tokenizer is None:
+            return None
+        return self.tokenizer.decode(list(ids))
+
+    def completion_payload(self, p: _Pending) -> Dict[str, Any]:
+        r = p.result
+        choice: Dict[str, Any] = {
+            "index": 0,
+            "tokens": list(r.tokens),
+            "finish_reason": "stop" if r.finished else "length",
+        }
+        text = self._decode_text(r.tokens)
+        if text is not None:
+            choice["text"] = text
+        if r.logprobs is not None and p.logprobs:
+            choice["logprobs"] = {"token_logprobs": list(r.logprobs)}
+        return {
+            "object": "text_completion",
+            "model": self.model_name,
+            "choices": [choice],
+            "usage": {
+                "prompt_tokens": len(p.tokens),
+                "completion_tokens": len(r.tokens),
+                "total_tokens": len(p.tokens) + len(r.tokens),
+            },
+        }
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
+        """Start the dispatcher and HTTP server (non-blocking); returns the
+        bound port (pass ``port=0`` for an ephemeral one)."""
+        self._dispatcher.start()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # Quiet request logging (the engine is the interesting part).
+            def log_message(self, *args):
+                pass
+
+            def _json(self, code: int, payload: Dict[str, Any]):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "ok", **server.stats})
+                elif self.path == "/v1/models":
+                    self._json(
+                        200,
+                        {
+                            "object": "list",
+                            "data": [
+                                {
+                                    "id": server.model_name,
+                                    "object": "model",
+                                }
+                            ],
+                        },
+                    )
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/v1/completions":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    pending = server.submit(body)
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                if pending.stream_q is None:
+                    pending.done.wait()
+                    if pending.error is not None:
+                        self._json(500, {"error": pending.error})
+                    else:
+                        self._json(200, server.completion_payload(pending))
+                    return
+                # SSE streaming: one data: line per emitted token.
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.end_headers()
+                while True:
+                    tok = pending.stream_q.get()
+                    if tok is None:
+                        break
+                    chunk = {"token": int(tok)}
+                    text = server._decode_text([int(tok)])
+                    if text is not None:
+                        chunk["text"] = text
+                    self.wfile.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                    )
+                    self.wfile.flush()
+                pending.done.wait()
+                if pending.error is not None:
+                    self.wfile.write(
+                        b"data: "
+                        + json.dumps({"error": pending.error}).encode()
+                        + b"\n\n"
+                    )
+                self.wfile.write(b"data: [DONE]\n\n")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(
+            target=self._httpd.serve_forever, name="nf4-http", daemon=True
+        ).start()
+        return self._httpd.server_address[1]
+
+    def stop(self):
+        self._shutdown.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+
+def serve_http(
+    engine: Engine,
+    tokenizer=None,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    model_name: str = "nf4-tpu",
+) -> CompletionServer:
+    """Convenience constructor: build, start, and return the server."""
+    server = CompletionServer(engine, tokenizer, model_name=model_name)
+    server.start(host, port)
+    return server

@@ -1,0 +1,173 @@
+"""HTTP completions endpoint (serve/api.py).
+
+Correctness bar: responses through the network boundary are exactly what
+Engine.generate produces directly — token ids, budgets, logprobs, and
+streaming order — including when concurrent requests with different
+parameters share a wave (the per-request sampling path end-to-end).
+"""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from nf4_tpu.models import configs
+from nf4_tpu.models.llama import init_params
+from nf4_tpu.serve.api import CompletionServer
+from nf4_tpu.serve.engine import Engine
+
+
+class ToyTokenizer:
+    """Byte-level stand-in with the encode/decode duck type HF uses."""
+
+    def encode(self, text):
+        return [ord(c) % 256 for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(i % 128 + 32) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = configs.TINY_TEST
+    params = init_params(cfg, seed=0)
+    engine = Engine(params, cfg, batch_size=2, eos_token=-1)
+    server = CompletionServer(engine, tokenizer=ToyTokenizer())
+    port = server.start(port=0)
+    # A twin engine for computing expected outputs directly.
+    twin = Engine(params, cfg, batch_size=2, eos_token=-1)
+    yield f"http://127.0.0.1:{port}", twin
+    server.stop()
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_models(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(url + "/v1/models", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["data"][0]["id"] == "nf4-tpu"
+
+
+def test_completion_matches_engine(served):
+    url, twin = served
+    want = twin.generate([[3, 5, 7]], max_new_tokens=6)[0]
+
+    code, body = _post(url, {"prompt": [3, 5, 7], "max_tokens": 6})
+    assert code == 200
+    choice = body["choices"][0]
+    assert choice["tokens"] == want.tokens
+    assert choice["finish_reason"] == ("stop" if want.finished else "length")
+    assert body["usage"]["completion_tokens"] == len(want.tokens)
+    assert isinstance(choice["text"], str)  # tokenizer attached
+
+
+def test_string_prompt_roundtrip(served):
+    url, twin = served
+    ids = ToyTokenizer().encode("hi!")
+    want = twin.generate([ids], max_new_tokens=4)[0]
+    code, body = _post(url, {"prompt": "hi!", "max_tokens": 4})
+    assert code == 200
+    assert body["choices"][0]["tokens"] == want.tokens
+
+
+def test_logprobs(served):
+    url, twin = served
+    want = twin.generate(
+        [[2, 4, 6]], max_new_tokens=4, return_logprobs=True
+    )[0]
+    code, body = _post(
+        url, {"prompt": [2, 4, 6], "max_tokens": 4, "logprobs": True}
+    )
+    assert code == 200
+    got = body["choices"][0]["logprobs"]["token_logprobs"]
+    assert len(got) == len(want.logprobs)
+    for a, b in zip(got, want.logprobs):
+        assert abs(a - b) < 1e-4
+
+
+def test_concurrent_requests_with_different_params(served):
+    """Two simultaneous posts with different budgets/temperatures resolve
+    independently and correctly (per-request SamplingParams in one wave,
+    or two waves — either way the outputs must match direct generate)."""
+    url, twin = served
+    w3 = twin.generate([[3, 5, 7]], max_new_tokens=3)[0]
+    w6 = twin.generate([[2, 4, 6]], max_new_tokens=6)[0]
+
+    results = {}
+
+    def post(tag, body):
+        results[tag] = _post(url, body)
+
+    t1 = threading.Thread(
+        target=post, args=("a", {"prompt": [3, 5, 7], "max_tokens": 3})
+    )
+    t2 = threading.Thread(
+        target=post,
+        args=(
+            "b",
+            {"prompt": [2, 4, 6], "max_tokens": 6, "temperature": 0.0},
+        ),
+    )
+    t1.start(); t2.start(); t1.join(300); t2.join(300)
+
+    assert results["a"][0] == 200 and results["b"][0] == 200
+    assert results["a"][1]["choices"][0]["tokens"] == w3.tokens
+    assert results["b"][1]["choices"][0]["tokens"] == w6.tokens
+
+
+def test_streaming_sse(served):
+    url, twin = served
+    want = twin.generate([[4, 5, 6]], max_new_tokens=5)[0]
+    req = urllib.request.Request(
+        url + "/v1/completions",
+        data=json.dumps(
+            {"prompt": [4, 5, 6], "max_tokens": 5, "stream": True}
+        ).encode(),
+        method="POST",
+    )
+    toks = []
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            toks.append(json.loads(payload)["token"])
+    # Streamed tokens = the generated stream minus any stop token.
+    assert toks == [t for t in want.tokens]
+
+
+def test_bad_requests(served):
+    url, _ = served
+    code, body = _post(url, {"prompt": {"bogus": 1}})
+    assert code == 400 and "error" in body
+    code, body = _post(url, {})
+    assert code == 400
+
+
+def test_wave_stats(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/health", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 6
+    assert stats["waves"] >= 1
+    assert stats["tokens_out"] > 0
