@@ -5,9 +5,11 @@ top of :class:`serve.engine.Engine`:
 
 * ``POST /v1/completions`` — ``{"prompt": [ids] | "text", "max_tokens",
   "temperature", "top_k", "top_p", "min_p", "repetition_penalty",
-  "stop": [ids], "logprobs": bool, "stream": bool}``.  String prompts
-  need the server to be constructed with a tokenizer (anything with
-  ``encode(str) -> ids`` / ``decode(ids) -> str`` — a HF tokenizer fits).
+  "stop": [ids], "seed": int, "n": int, "logprobs": bool,
+  "stream": bool}``.  String prompts need the server to be constructed
+  with a tokenizer (anything with ``encode(str) -> ids`` /
+  ``decode(ids) -> str`` — a HF tokenizer fits).  ``seed`` makes the
+  response reproducible (choice ``i`` of ``n`` uses ``seed + i``).
 * ``GET /v1/models`` and ``GET /health``.
 * ``"stream": true`` responds with server-sent events (one ``data:`` JSON
   line per token, then ``data: [DONE]``), fed by the engine's
@@ -57,7 +59,10 @@ class _Pending:
     stream_q: Optional[queue.Queue] = None
 
 
-def _params_from_body(body: Dict[str, Any]) -> SamplingParams:
+def _params_from_body(
+    body: Dict[str, Any], seed_offset: int = 0
+) -> SamplingParams:
+    seed = body.get("seed")
     return SamplingParams(
         temperature=float(body.get("temperature", 0.0)),
         top_k=int(body.get("top_k", 0)),
@@ -66,6 +71,10 @@ def _params_from_body(body: Dict[str, Any]) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         stop_tokens=tuple(body.get("stop", ()) or ()),
         max_new_tokens=int(body.get("max_tokens", 64)),
+        # "n" completions with a seed get distinct derived seeds so the
+        # whole response is reproducible; unseeded choices diverge through
+        # the engine's shared key stream.
+        seed=None if seed is None else int(seed) + seed_offset,
     )
 
 
@@ -150,7 +159,7 @@ class CompletionServer:
 
     # -- request entry ------------------------------------------------------
 
-    def submit(self, body: Dict[str, Any]) -> _Pending:
+    def submit(self, body: Dict[str, Any], seed_offset: int = 0) -> _Pending:
         prompt = body.get("prompt")
         if isinstance(prompt, str):
             if self.tokenizer is None:
@@ -167,7 +176,7 @@ class CompletionServer:
             raise ValueError("prompt must be a string or a list of token ids")
         pending = _Pending(
             tokens=tokens,
-            params=_params_from_body(body),
+            params=_params_from_body(body, seed_offset),
             logprobs=bool(body.get("logprobs", False)),
             stream_q=queue.Queue() if body.get("stream") else None,
         )
@@ -175,15 +184,25 @@ class CompletionServer:
         self._queue.put(pending)
         return pending
 
+    def submit_n(self, body: Dict[str, Any]) -> List[_Pending]:
+        """Submit ``n`` independent completions of one prompt (they batch
+        into the same wave; with a seed, choice i uses seed+i)."""
+        n = int(body.get("n", 1))
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        if n > 1 and body.get("stream"):
+            raise ValueError("streaming is single-choice; use n=1")
+        return [self.submit(body, seed_offset=i) for i in range(n)]
+
     def _decode_text(self, ids: Sequence[int]) -> Optional[str]:
         if self.tokenizer is None:
             return None
         return self.tokenizer.decode(list(ids))
 
-    def completion_payload(self, p: _Pending) -> Dict[str, Any]:
+    def _choice(self, p: _Pending, index: int) -> Dict[str, Any]:
         r = p.result
         choice: Dict[str, Any] = {
-            "index": 0,
+            "index": index,
             "tokens": list(r.tokens),
             "finish_reason": "stop" if r.finished else "length",
         }
@@ -192,14 +211,20 @@ class CompletionServer:
             choice["text"] = text
         if r.logprobs is not None and p.logprobs:
             choice["logprobs"] = {"token_logprobs": list(r.logprobs)}
+        return choice
+
+    def completion_payload(
+        self, pendings: Sequence[_Pending]
+    ) -> Dict[str, Any]:
+        out = sum(len(p.result.tokens) for p in pendings)
         return {
             "object": "text_completion",
             "model": self.model_name,
-            "choices": [choice],
+            "choices": [self._choice(p, i) for i, p in enumerate(pendings)],
             "usage": {
-                "prompt_tokens": len(p.tokens),
-                "completion_tokens": len(r.tokens),
-                "total_tokens": len(p.tokens) + len(r.tokens),
+                "prompt_tokens": len(pendings[0].tokens),
+                "completion_tokens": out,
+                "total_tokens": len(pendings[0].tokens) + out,
             },
         }
 
@@ -250,16 +275,19 @@ class CompletionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    pending = server.submit(body)
+                    pendings = server.submit_n(body)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
+                pending = pendings[0]
                 if pending.stream_q is None:
-                    pending.done.wait()
-                    if pending.error is not None:
-                        self._json(500, {"error": pending.error})
+                    for p in pendings:
+                        p.done.wait()
+                    errs = [p.error for p in pendings if p.error is not None]
+                    if errs:
+                        self._json(500, {"error": errs[0]})
                     else:
-                        self._json(200, server.completion_payload(pending))
+                        self._json(200, server.completion_payload(pendings))
                     return
                 # SSE streaming: one data: line per emitted token.
                 self.send_response(200)

@@ -160,27 +160,34 @@ def _decode_multi_impl(
 
 
 def _decode_multi_impl_batched(
-    params, token, cache, positions, gen_mask, keys, bp, *, step, n_steps
+    params, token, cache, positions, gen_mask, keys, bp, step_idx,
+    *, step, n_steps
 ):
     """Per-request variant of :func:`_decode_multi_impl`: sampling
     parameters arrive as a traced :class:`BatchedSampling` pytree (one row
     per slot), so ONE compilation per chunk length serves every parameter
-    mix."""
+    mix.  ``step_idx`` [B] carries each slot's generated-token count so
+    seeded rows stay reproducible across chunk boundaries."""
 
     def body(carry, key_i):
-        tok, cache, pos, mask = carry
+        tok, cache, pos, mask, sidx = carry
         logits, cache = step(params, token=tok, cache=cache, positions=pos)
         lg = logits.astype(jnp.float32)
-        nxt = sample_batched(lg, bp, key_i, generated_mask=mask)
+        nxt = sample_batched(
+            lg, bp, key_i, generated_mask=mask, step_idx=sidx
+        )
         lp = jax.nn.log_softmax(lg, axis=-1)[
             jnp.arange(lg.shape[0]), nxt
         ]
         if mask is not None:
             mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
-        return (nxt, cache, pos + 1, mask), (nxt, lp)
+        return (nxt, cache, pos + 1, mask, sidx + 1), (nxt, lp)
 
-    (tok, cache, pos, mask), (toks, lps) = jax.lax.scan(
-        body, (token, cache, positions, gen_mask), keys, length=n_steps
+    (tok, cache, pos, mask, _sidx), (toks, lps) = jax.lax.scan(
+        body,
+        (token, cache, positions, gen_mask, step_idx),
+        keys,
+        length=n_steps,
     )
     return toks, lps, cache, pos, mask
 
@@ -492,7 +499,14 @@ class Engine:
         if sampling is None:
             sampling = self.sampling
         if isinstance(sampling, SamplingParams):
-            per_req = None
+            # A uniform seeded call still needs the per-row key machinery
+            # (seeded streams are a function of (seed, step), not of the
+            # engine's shared key) — route it through per-request mode.
+            per_req = (
+                [sampling] * len(prompts)
+                if sampling.seed is not None
+                else None
+            )
         else:
             per_req = [
                 p if p is not None else self.sampling for p in sampling
@@ -706,7 +720,13 @@ class Engine:
             # repetition penalty opts a call out (its token mask would
             # have to evolve across unaccepted draft positions).
             active_sps = [sampling] if per_req is None else per_req
-            spec_ok = all(p.repetition_penalty == 1.0 for p in active_sps)
+            # Seeded requests also opt out: the rejection sampler's key
+            # consumption depends on accept counts, which would break the
+            # (seed, step) -> token reproducibility contract.
+            spec_ok = all(
+                p.repetition_penalty == 1.0 and p.seed is None
+                for p in active_sps
+            )
             spec_greedy = all(p.temperature == 0.0 for p in active_sps)
             if (
                 self.spec_k > 0
@@ -818,6 +838,13 @@ class Engine:
                                 gen_mask,
                                 keys,
                                 BatchedSampling.stack(slot_sp),
+                                jnp.asarray(
+                                    [
+                                        len(slot_generated[s])
+                                        for s in range(B)
+                                    ],
+                                    dtype=jnp.int32,
+                                ),
                             )
                         )
                     toks = np.asarray(toks_d)  # [n, B]
@@ -857,7 +884,12 @@ class Engine:
             if per_req is None:
                 next_dev = self._sample(logits, sampling, gen_mask)
             else:
-                next_dev = self._sample_perreq(logits, slot_sp, gen_mask)
+                next_dev = self._sample_perreq(
+                    logits,
+                    slot_sp,
+                    gen_mask,
+                    step_idx=[len(slot_generated[s]) for s in range(B)],
+                )
             next_tok = np.asarray(next_dev)
             if return_logprobs:
                 step_lps = np.asarray(_token_logprobs(logits, next_tok))
@@ -969,12 +1001,18 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sample(logits, sampling, sub, generated_mask=mask)
 
-    def _sample_perreq(self, logits, sps, gen_mask=None):
+    def _sample_perreq(self, logits, sps, gen_mask=None, step_idx=None):
         """Sample [B] tokens with row-wise params; draws one key for the
-        whole batch only when some row is stochastic."""
+        whole batch only when some row is stochastic.  ``step_idx`` [B]
+        is each row's generated-token count (keys seeded rows)."""
         mask = jnp.asarray(gen_mask) if gen_mask is not None else None
         bp = BatchedSampling.stack(sps)
+        sidx = (
+            jnp.asarray(step_idx, jnp.int32)
+            if step_idx is not None
+            else jnp.zeros(logits.shape[0], jnp.int32)
+        )
         if all(p.temperature == 0.0 for p in sps):
-            return _sample_batched_jit(logits, bp, None, mask)
+            return _sample_batched_jit(logits, bp, None, mask, sidx)
         self._key, sub = jax.random.split(self._key)
-        return _sample_batched_jit(logits, bp, sub, mask)
+        return _sample_batched_jit(logits, bp, sub, mask, sidx)

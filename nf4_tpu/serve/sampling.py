@@ -37,6 +37,13 @@ class SamplingParams:
     # Generation budget override; None defers to generate()'s
     # max_new_tokens argument.
     max_new_tokens: Optional[int] = None
+    # Reproducible sampling: when set, this request's token stream depends
+    # ONLY on (seed, tokens-generated-so-far) — identical across batch
+    # compositions, decode chunk sizes, and engine restarts.  None (the
+    # default) uses the engine's shared key stream.  Honored by the
+    # engine; plain sample()/sample_batched() callers must pass the
+    # per-row step index themselves (see sample_batched's step_idx).
+    seed: Optional[int] = None
 
 
 def apply_repetition_penalty(
@@ -105,6 +112,8 @@ class BatchedSampling(NamedTuple):
     top_p: jax.Array  # [B] fp32
     min_p: jax.Array  # [B] fp32
     repetition_penalty: jax.Array  # [B] fp32
+    seed: jax.Array  # [B] int32 (0 when unseeded)
+    has_seed: jax.Array  # [B] bool
 
     @staticmethod
     def stack(params: Sequence[SamplingParams]) -> "BatchedSampling":
@@ -117,6 +126,13 @@ class BatchedSampling(NamedTuple):
             min_p=jnp.asarray([p.min_p for p in params], jnp.float32),
             repetition_penalty=jnp.asarray(
                 [p.repetition_penalty for p in params], jnp.float32
+            ),
+            seed=jnp.asarray(
+                [p.seed if p.seed is not None else 0 for p in params],
+                jnp.int32,
+            ),
+            has_seed=jnp.asarray(
+                [p.seed is not None for p in params], bool
             ),
         )
 
@@ -168,6 +184,7 @@ def sample_batched(
     bp: BatchedSampling,
     key: Optional[jax.Array] = None,
     generated_mask: Optional[jax.Array] = None,
+    step_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Row-wise :func:`sample`: each row uses its own parameters.
 
@@ -175,6 +192,12 @@ def sample_batched(
     to identity), so a batch of identical parameters produces exactly the
     tokens the scalar path would with the same key.  Greedy rows
     (temperature 0) take their argmax regardless of ``key``.
+
+    ``step_idx`` [B] int32 — each row's tokens-generated-so-far count;
+    required for rows with ``has_seed``: a seeded row draws with
+    ``fold_in(PRNGKey(seed), step_idx)`` instead of the shared ``key``,
+    making its stream a pure function of (seed, step) — independent of
+    batchmates and decode chunking.  ``None`` ignores seeds.
     """
     logits = logits.astype(jnp.float32)
     if generated_mask is not None:
@@ -192,4 +215,12 @@ def sample_batched(
 
     lg = filter_logits_batched(logits, bp)
     stoch_tok = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+    if step_idx is not None:
+        row_keys = jax.vmap(
+            lambda s, t: jax.random.fold_in(jax.random.PRNGKey(s), t)
+        )(bp.seed, jnp.asarray(step_idx, jnp.int32))
+        seeded_tok = jax.vmap(jax.random.categorical)(row_keys, lg).astype(
+            jnp.int32
+        )
+        stoch_tok = jnp.where(bp.has_seed, seeded_tok, stoch_tok)
     return jnp.where(greedy, greedy_tok, stoch_tok)

@@ -156,6 +156,52 @@ def test_streaming_sse(served):
     assert toks == [t for t in want.tokens]
 
 
+def test_seeded_request_reproducible(served):
+    url, _ = served
+    body = {
+        "prompt": [3, 5, 7],
+        "max_tokens": 8,
+        "temperature": 1.0,
+        "seed": 11,
+    }
+    _, a = _post(url, body)
+    _, b = _post(url, body)
+    assert a["choices"][0]["tokens"] == b["choices"][0]["tokens"]
+
+
+def test_n_choices_with_seed(served):
+    url, _ = served
+    body = {
+        "prompt": [2, 4, 6],
+        "max_tokens": 6,
+        "temperature": 1.5,
+        "seed": 5,
+        "n": 3,
+    }
+    code, resp = _post(url, body)
+    assert code == 200
+    assert [c["index"] for c in resp["choices"]] == [0, 1, 2]
+    assert resp["usage"]["completion_tokens"] == sum(
+        len(c["tokens"]) for c in resp["choices"]
+    )
+    # Reproducible as a whole (choice i rides seed+i) ...
+    _, again = _post(url, body)
+    assert [c["tokens"] for c in again["choices"]] == [
+        c["tokens"] for c in resp["choices"]
+    ]
+    # ... and choice i equals a single request at seed+i.
+    _, single = _post(url, {**body, "n": 1, "seed": 6})
+    assert single["choices"][0]["tokens"] == resp["choices"][1]["tokens"]
+
+
+def test_stream_with_n_rejected(served):
+    url, _ = served
+    code, body = _post(
+        url, {"prompt": [1, 2], "n": 2, "stream": True, "temperature": 1.0}
+    )
+    assert code == 400
+
+
 def test_bad_requests(served):
     url, _ = served
     code, body = _post(url, {"prompt": {"bogus": 1}})

@@ -267,6 +267,71 @@ class TestEnginePerRequest:
             assert res[i].tokens == singles[b][i].tokens, f"request {i}"
             assert len(res[i].tokens) == b
 
+    def test_seeded_stream_independent_of_batch_and_chunking(self, setup):
+        """SamplingParams.seed makes a request's stream a pure function of
+        (seed, step): identical alone, next to a stochastic neighbour,
+        and under a different decode_chunk."""
+        cfg, params = setup
+        sp = SamplingParams(temperature=1.2, seed=123)
+
+        alone = Engine(
+            params, cfg, batch_size=1, eos_token=-1, seed=5
+        ).generate([[3, 5, 7]], max_new_tokens=10, sampling=sp)
+        paired = Engine(
+            params, cfg, batch_size=2, eos_token=-1, seed=99
+        ).generate(
+            [[3, 5, 7], [2, 4, 6]],
+            max_new_tokens=10,
+            sampling=[sp, SamplingParams(temperature=0.8)],
+        )
+        chunked = Engine(
+            params, cfg, batch_size=1, eos_token=-1, seed=7, decode_chunk=3
+        ).generate([[3, 5, 7]], max_new_tokens=10, sampling=sp)
+
+        assert paired[0].tokens == alone[0].tokens
+        assert chunked[0].tokens == alone[0].tokens
+
+    def test_different_seeds_diverge(self, setup):
+        cfg, params = setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        res = eng.generate(
+            [[3, 5, 7], [3, 5, 7]],
+            max_new_tokens=16,
+            sampling=[
+                SamplingParams(temperature=2.0, seed=1),
+                SamplingParams(temperature=2.0, seed=2),
+            ],
+        )
+        assert res[0].tokens != res[1].tokens
+
+    def test_same_seed_same_prompt_same_stream(self, setup):
+        """Two requests with the same seed and prompt in one batch emit
+        identical streams — the reproducibility contract, visible."""
+        cfg, params = setup
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        res = eng.generate(
+            [[3, 5, 7], [3, 5, 7]],
+            max_new_tokens=10,
+            sampling=SamplingParams(temperature=1.0, seed=42),
+        )
+        assert res[0].tokens == res[1].tokens
+
+    def test_seeded_request_skips_speculation(self, setup):
+        cfg, params = setup
+        eng = Engine(params, cfg, batch_size=1, eos_token=-1, spec_k=3)
+        alone = Engine(params, cfg, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3, 1, 2, 3]],
+            max_new_tokens=8,
+            sampling=SamplingParams(temperature=1.0, seed=9),
+        )
+        res = eng.generate(
+            [[1, 2, 3, 1, 2, 3]],
+            max_new_tokens=8,
+            sampling=SamplingParams(temperature=1.0, seed=9),
+        )
+        assert eng.spec_stats["steps"] == 0
+        assert res[0].tokens == alone[0].tokens
+
     def test_wrong_length_raises(self, setup):
         cfg, params = setup
         eng = Engine(params, cfg, batch_size=2, eos_token=-1)
