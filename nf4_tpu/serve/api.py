@@ -69,6 +69,8 @@ def _params_from_body(
         top_p=float(body.get("top_p", 1.0)),
         min_p=float(body.get("min_p", 0.0)),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
         stop_tokens=tuple(body.get("stop", ()) or ()),
         max_new_tokens=int(body.get("max_tokens", 64)),
         # "n" completions with a seed get distinct derived seeds so the

@@ -123,9 +123,11 @@ def _bcast_row(cache, row):
 
 @jax.jit
 def _mask_record(mask, toks, active):
-    """Record emitted tokens in the device-resident [B, V] bool mask for
-    rows where ``active`` (the mask never round-trips to host)."""
-    hit = mask.at[jnp.arange(mask.shape[0]), toks].set(True)
+    """Record emitted tokens in the device-resident [B, V] emitted-token
+    state (bool mask, or int32 counts — dtype is trace-static) for rows
+    where ``active``; never round-trips to host."""
+    upd = mask.at[jnp.arange(mask.shape[0]), toks]
+    hit = upd.set(True) if mask.dtype == jnp.bool_ else upd.add(1)
     return jnp.where(active[:, None], hit, mask)
 
 
@@ -180,7 +182,8 @@ def _decode_multi_impl_batched(
             jnp.arange(lg.shape[0]), nxt
         ]
         if mask is not None:
-            mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
+            upd = mask.at[jnp.arange(mask.shape[0]), nxt]
+            mask = upd.set(True) if mask.dtype == jnp.bool_ else upd.add(1)
         return (nxt, cache, pos + 1, mask, sidx + 1), (nxt, lp)
 
     (tok, cache, pos, mask, _sidx), (toks, lps) = jax.lax.scan(
@@ -194,8 +197,11 @@ def _decode_multi_impl_batched(
 
 @jax.jit
 def _mask_reset(mask, slots, toks):
-    """Clear rows ``slots`` and record their first generated tokens."""
-    return mask.at[slots].set(False).at[slots, toks].set(True)
+    """Clear rows ``slots`` and record their first generated tokens
+    (bool mask or int32 counts — dtype is trace-static)."""
+    if mask.dtype == jnp.bool_:
+        return mask.at[slots].set(False).at[slots, toks].set(True)
+    return mask.at[slots].set(0).at[slots, toks].set(1)
 
 
 _sample_batched_jit = jax.jit(sample_batched)
@@ -499,12 +505,16 @@ class Engine:
         if sampling is None:
             sampling = self.sampling
         if isinstance(sampling, SamplingParams):
-            # A uniform seeded call still needs the per-row key machinery
-            # (seeded streams are a function of (seed, step), not of the
-            # engine's shared key) — route it through per-request mode.
+            # Uniform calls that need per-row machinery route through
+            # per-request mode: seeds (per-row keys) and presence/
+            # frequency penalties (the counts-aware batched sampler).
             per_req = (
                 [sampling] * len(prompts)
-                if sampling.seed is not None
+                if (
+                    sampling.seed is not None
+                    or sampling.presence_penalty != 0.0
+                    or sampling.frequency_penalty != 0.0
+                )
                 else None
             )
         else:
@@ -591,16 +601,31 @@ class Engine:
         slot_generated: List[List[int]] = [[] for _ in range(B)]
         slot_logprobs: List[List[float]] = [[] for _ in range(B)]
         cur_token = np.zeros(B, dtype=np.int32)
-        # Emitted-token mask per slot for the repetition penalty (opt-in).
-        # DEVICE-resident: updated with one scatter per step instead of
-        # re-uploading a [B, vocab] host array every decode step.
-        use_rep = (
-            sampling.repetition_penalty != 1.0
-            if per_req is None
-            else any(p.repetition_penalty != 1.0 for p in per_req)
-        )
+        # Emitted-token state per slot for the repetition / presence /
+        # frequency penalties (opt-in).  DEVICE-resident: one scatter per
+        # step instead of re-uploading a [B, vocab] host array.  A bool
+        # mask suffices for the repetition penalty; int32 counts are kept
+        # when any request uses the additive penalties.
+        def _uses_mask(p):
+            return (
+                p.repetition_penalty != 1.0
+                or p.presence_penalty != 0.0
+                or p.frequency_penalty != 0.0
+            )
+
+        def _uses_counts(p):
+            return p.presence_penalty != 0.0 or p.frequency_penalty != 0.0
+
+        sps_all = [sampling] if per_req is None else per_req
+        use_mask = any(_uses_mask(p) for p in sps_all)
+        use_counts = any(_uses_counts(p) for p in sps_all)
         gen_mask = (
-            jnp.zeros((B, cfg.vocab_size), dtype=bool) if use_rep else None
+            jnp.zeros(
+                (B, cfg.vocab_size),
+                dtype=jnp.int32 if use_counts else bool,
+            )
+            if use_mask
+            else None
         )
         # Per-slot sampling params (per-request mode); idle slots keep a
         # harmless default — their sampled tokens are discarded anyway.
@@ -722,9 +747,14 @@ class Engine:
             active_sps = [sampling] if per_req is None else per_req
             # Seeded requests also opt out: the rejection sampler's key
             # consumption depends on accept counts, which would break the
-            # (seed, step) -> token reproducibility contract.
+            # (seed, step) -> token reproducibility contract.  So do the
+            # token-history penalties (their state would have to evolve
+            # across unaccepted draft positions).
             spec_ok = all(
-                p.repetition_penalty == 1.0 and p.seed is None
+                p.repetition_penalty == 1.0
+                and p.presence_penalty == 0.0
+                and p.frequency_penalty == 0.0
+                and p.seed is None
                 for p in active_sps
             )
             spec_greedy = all(p.temperature == 0.0 for p in active_sps)

@@ -29,6 +29,12 @@ class SamplingParams:
     # discourages repeats; 1 => disabled).  Applied to positive logits as
     # division and negative as multiplication, the standard CTRL rule.
     repetition_penalty: float = 1.0
+    # OpenAI-style additive penalties (0 => disabled), applied after the
+    # repetition penalty: logits -= presence_penalty * (count > 0)
+    #                              + frequency_penalty * count,
+    # where count is how many times the token was generated this request.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # Host-side per-request controls (checked by the engine's scheduler,
     # never traced into device programs):
     # extra end-of-sequence token ids on top of the engine's eos_token and
@@ -112,6 +118,8 @@ class BatchedSampling(NamedTuple):
     top_p: jax.Array  # [B] fp32
     min_p: jax.Array  # [B] fp32
     repetition_penalty: jax.Array  # [B] fp32
+    presence_penalty: jax.Array  # [B] fp32
+    frequency_penalty: jax.Array  # [B] fp32
     seed: jax.Array  # [B] int32 (0 when unseeded)
     has_seed: jax.Array  # [B] bool
 
@@ -126,6 +134,12 @@ class BatchedSampling(NamedTuple):
             min_p=jnp.asarray([p.min_p for p in params], jnp.float32),
             repetition_penalty=jnp.asarray(
                 [p.repetition_penalty for p in params], jnp.float32
+            ),
+            presence_penalty=jnp.asarray(
+                [p.presence_penalty for p in params], jnp.float32
+            ),
+            frequency_penalty=jnp.asarray(
+                [p.frequency_penalty for p in params], jnp.float32
             ),
             seed=jnp.asarray(
                 [p.seed if p.seed is not None else 0 for p in params],
@@ -198,14 +212,25 @@ def sample_batched(
     ``fold_in(PRNGKey(seed), step_idx)`` instead of the shared ``key``,
     making its stream a pure function of (seed, step) — independent of
     batchmates and decode chunking.  ``None`` ignores seeds.
+
+    ``generated_mask`` is per-row emitted-token state: bool [B, V]
+    (repetition penalty only) or int32 counts [B, V] (also enables the
+    additive presence/frequency penalties — the engine keeps counts
+    whenever a request uses them).
     """
     logits = logits.astype(jnp.float32)
     if generated_mask is not None:
+        is_counts = generated_mask.dtype != jnp.bool_
+        emitted = generated_mask > 0 if is_counts else generated_mask
         pen = bp.repetition_penalty[:, None]
         penalized = jnp.where(logits > 0, logits / pen, logits * pen)
-        logits = jnp.where(
-            generated_mask & (pen != 1.0), penalized, logits
-        )
+        logits = jnp.where(emitted & (pen != 1.0), penalized, logits)
+        if is_counts:
+            cnt = generated_mask.astype(jnp.float32)
+            logits = logits - (
+                bp.presence_penalty[:, None] * emitted.astype(jnp.float32)
+                + bp.frequency_penalty[:, None] * cnt
+            )
 
     greedy = bp.temperature == 0.0  # [B]
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
