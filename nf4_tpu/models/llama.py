@@ -46,6 +46,7 @@ __all__ = [
     "split_fused",
     "init_kv_cache",
     "forward",
+    "train_forward",
     "prefill",
     "prefill_chunked",
     "decode_step",
@@ -444,6 +445,25 @@ def _reduced_matmul(x, w: Weight, reduce_fn, out_dtype=None):
     return reduce_fn(_matmul(x, w, out_dtype=out_dtype))
 
 
+def _lora_delta(x: jax.Array, ab) -> Optional[jax.Array]:
+    """Low-rank update ``(x @ A^T) @ B^T * scaling`` for one projection.
+
+    ``ab`` is a ``train.lora.LoraAB`` (duck-typed here to keep the model
+    free of a train-package import) or None.  Computed in ``x``'s dtype
+    (bf16 in practice — the QLoRA convention); the rank-r intermediate is
+    tiny so the cost is two skinny matmuls per adapted projection.
+    """
+    if ab is None:
+        return None
+    a = ab.a.astype(x.dtype)  # [r, in]
+    b = ab.b.astype(x.dtype)  # [out, r]
+    return jnp.dot(jnp.dot(x, a.T), b.T) * ab.scaling
+
+
+def _add_delta(y: jax.Array, delta: Optional[jax.Array]) -> jax.Array:
+    return y if delta is None else y + delta.astype(y.dtype)
+
+
 def _quantize_kv(t):
     """[B,KV,S,D] -> (int8 values, fp32 per-token absmax scales [B,KV,S])."""
     tf = t.astype(jnp.float32)
@@ -463,18 +483,28 @@ def _layer_forward(
     cos,
     sin,
     reduce_fn=None,
+    ll=None,
+    train: bool = False,
 ):
     """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
     ``reduce_fn`` (e.g. a ``psum`` over the tensor-parallel axis) is applied
     to the row-parallel projections (wo, w_down) before the residual add;
     identity when running single-device.
+
+    ``ll`` is an optional per-layer LoRA adapter (``train.lora.LoraLayer``):
+    low-rank deltas added to the adapted projections' outputs, in the same
+    fused row basis as the packed weights.  ``train=True`` runs the layer
+    without a KV cache (attention over this call's own K/V) and forces the
+    differentiable attention path — the fine-tuning forward.
     """
     reduce_fn = reduce_fn or (lambda t: t)
     b, s, h = x.shape
 
     attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     qkv = _matmul(attn_in, lp.wqkv)  # ONE kernel for q+k+v
+    if ll is not None:
+        qkv = _add_delta(qkv, _lora_delta(attn_in, ll.qkv))
     if lp.qkv_bias is not None:
         qkv = qkv + lp.qkv_bias.astype(qkv.dtype)
     q, k, v = split_fused(
@@ -498,44 +528,60 @@ def _layer_forward(
 
         return jax.vmap(per_seq)(cache, new, positions)
 
-    if cfg.kv_quant:
-        k8, ks = _quantize_kv(k)
-        v8, vs = _quantize_kv(v)
-        layer_cache = KVCache(
-            k=upd(layer_cache.k, k8),
-            v=upd(layer_cache.v, v8),
-            k_scale=upd(layer_cache.k_scale, ks),
-            v_scale=upd(layer_cache.v_scale, vs),
-        )
-    else:
-        layer_cache = KVCache(
-            k=upd(layer_cache.k, k.astype(layer_cache.k.dtype)),
-            v=upd(layer_cache.v, v.astype(layer_cache.v.dtype)),
-        )
-
     from ..ops.attention import attention
 
-    attn = attention(
-        q,
-        layer_cache.k,
-        layer_cache.v,
-        positions,
-        seq_lens,
-        scale=cfg.head_dim**-0.5,
-        sliding_window=cfg.sliding_window,
-        k_scale=layer_cache.k_scale,
-        v_scale=layer_cache.v_scale,
-        # Every position tensor this package builds is offset + arange per
-        # row (prefill, chunked prefill, engine buckets, decode, eval).
-        contiguous_positions=True,
-    )
+    if train:
+        # Fine-tuning forward: attention over this call's own K/V — no
+        # cache buffers, no int8 KV rounding, differentiable paths only.
+        attn = attention(
+            q, k, v, positions, seq_lens,
+            scale=cfg.head_dim**-0.5,
+            sliding_window=cfg.sliding_window,
+            contiguous_positions=True,
+            differentiable=True,
+        )
+    else:
+        if cfg.kv_quant:
+            k8, ks = _quantize_kv(k)
+            v8, vs = _quantize_kv(v)
+            layer_cache = KVCache(
+                k=upd(layer_cache.k, k8),
+                v=upd(layer_cache.v, v8),
+                k_scale=upd(layer_cache.k_scale, ks),
+                v_scale=upd(layer_cache.v_scale, vs),
+            )
+        else:
+            layer_cache = KVCache(
+                k=upd(layer_cache.k, k.astype(layer_cache.k.dtype)),
+                v=upd(layer_cache.v, v.astype(layer_cache.v.dtype)),
+            )
+
+        attn = attention(
+            q,
+            layer_cache.k,
+            layer_cache.v,
+            positions,
+            seq_lens,
+            scale=cfg.head_dim**-0.5,
+            sliding_window=cfg.sliding_window,
+            k_scale=layer_cache.k_scale,
+            v_scale=layer_cache.v_scale,
+            # Every position tensor this package builds is offset + arange per
+            # row (prefill, chunked prefill, engine buckets, decode, eval).
+            contiguous_positions=True,
+        )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
     # cast once after the reduction (matches single-device numerics).
-    x = x + _reduced_matmul(attn, lp.wo, reduce_fn, out_dtype=jnp.float32).astype(x.dtype)
+    o_proj = _reduced_matmul(attn, lp.wo, reduce_fn, out_dtype=jnp.float32)
+    if ll is not None:
+        o_proj = _add_delta(o_proj, _lora_delta(attn, ll.o))
+    x = x + o_proj.astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
+    if ll is not None:
+        gateup = _add_delta(gateup, _lora_delta(mlp_in, ll.gateup))
     gate, up = split_fused(
         gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
     )
@@ -550,7 +596,10 @@ def _layer_forward(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
-    x = x + _reduced_matmul(h, lp.w_down, reduce_fn, out_dtype=jnp.float32).astype(x.dtype)
+    down = _reduced_matmul(h, lp.w_down, reduce_fn, out_dtype=jnp.float32)
+    if ll is not None:
+        down = _add_delta(down, _lora_delta(h, ll.down))
+    x = x + down.astype(x.dtype)
     return x, layer_cache
 
 
@@ -567,6 +616,7 @@ def forward(
     seq_lens: jax.Array,  # [B] int32 — total visible length AFTER this step
     reduce_fn=None,
     last_only: bool = False,
+    lora=None,
 ) -> Tuple[jax.Array, KVCache]:
     """General step: embeds tokens, runs all layers via scan, returns logits.
 
@@ -580,7 +630,17 @@ def forward(
     token ([B, V] instead of [B, S, V]) — serving prefill never needs the
     full-sequence logits, whose [B, S, vocab] fp32 tensor is tens of GB at
     long context (Llama-3 vocab: 8 x 8192 x 128256 fp32 = 33 GB).
+
+    ``lora`` is an optional (unmerged) ``train.lora.LoraParams`` adapter,
+    applied on top of the frozen packed weights — single-device / data-
+    parallel only (under TP the adapted projections see sharded
+    activations; merge adapters via ``train.lora.merge_lora`` to serve
+    them TP).
     """
+    assert lora is None or reduce_fn is None, (
+        "unmerged LoRA adapters cannot run under tensor parallelism; "
+        "merge_lora() them into the packed weights first"
+    )
     b, s = tokens.shape
 
     x = params.embed[tokens]  # [B,S,H]
@@ -594,15 +654,18 @@ def forward(
     # tensor is never materialized.
 
     def body(x, layer):
-        lp, layer_cache = layer
+        lp, layer_cache, ll = layer
         x, layer_cache = _layer_forward(
-            cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn
+            cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn,
+            ll=ll,
         )
         return x, layer_cache
 
     # The KVCache struct scans as a pytree: every leaf (k/v and, when
-    # quantized, the scale arrays) carries the leading layer axis.
-    x, new_cache = jax.lax.scan(body, x, (params.layers, cache))
+    # quantized, the scale arrays) carries the leading layer axis.  A None
+    # lora is an empty subtree — scan passes it through untouched.
+    lora_layers = None if lora is None else lora.layers
+    x, new_cache = jax.lax.scan(body, x, (params.layers, cache, lora_layers))
 
     if last_only:
         # Row index of each sequence's last written token within this call.
@@ -618,6 +681,55 @@ def forward(
             x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
         )
     return logits, new_cache
+
+
+def train_forward(
+    params: LlamaParams,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, S] int32
+    lora=None,
+    remat: bool = False,
+) -> jax.Array:
+    """Full-sequence logits for fine-tuning: ``[B, S, V]`` fp32.
+
+    Differs from :func:`prefill` exactly where training requires it — no
+    KV cache is allocated or written (each layer attends over its own
+    fresh K/V), attention runs only differentiable XLA paths, and
+    ``remat=True`` wraps the scanned layer body in :func:`jax.checkpoint`
+    so the backward pass rematerializes per-layer activations instead of
+    storing all ``L`` of them (the standard depth-for-memory trade; peak
+    activation memory drops from O(L*B*S) to O(B*S) + sqrt-free scan
+    storage).  Gradients flow to ``lora`` (and any dense leaves of
+    ``params``); packed NF4 weights are frozen by construction — their
+    custom VJP only propagates to activations.
+    """
+    b, s = tokens.shape
+    x = params.embed[tokens]
+    if cfg.scale_embeddings:
+        x = (x.astype(jnp.float32) * (cfg.hidden_size**0.5)).astype(x.dtype)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+    cos, sin = rope_tables(cfg, positions)
+
+    def body(x, layer):
+        lp, ll = layer
+        x, _ = _layer_forward(
+            cfg, x, lp, None, positions, seq_lens, cos, sin,
+            ll=ll, train=True,
+        )
+        return x, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    lora_layers = None if lora is None else lora.layers
+    x, _ = jax.lax.scan(body, x, (params.layers, lora_layers))
+
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
+    if isinstance(params.lm_head, jax.Array):
+        return jnp.dot(
+            x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    return _matmul(x, params.lm_head, out_dtype=jnp.float32)
 
 
 def prefill(params, cfg, tokens, cache=None):

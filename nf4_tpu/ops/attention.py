@@ -477,18 +477,28 @@ def attention(
     sliding_window=None, k_scale=None, v_scale=None,
     q_chunk: int = 512, kv_chunk: int = 512,
     contiguous_positions: bool = False,
+    differentiable: bool = False,
 ):
     """Dispatching entry point; see module docstring for the contract.
 
     ``contiguous_positions`` asserts that every batch row's positions are
     ``pos0 + arange(S)`` — the guarantee every entry point in this package
     provides — unlocking the Pallas flash kernel for long prefills.
+
+    ``differentiable=True`` (the training path) skips the Pallas flash
+    kernel — it has no VJP — and routes through the pure-XLA chunked/naive
+    paths, which JAX differentiates; their ``lax.scan`` structure also
+    gives the backward pass bounded memory.
     """
     b, nh, s, d = q.shape
     t_max = k.shape[2]
     score_elems = b * nh * s * t_max
     if s > 1 and score_elems >= _CHUNKED_MIN_SCORE_ELEMS:
-        if contiguous_positions and _flash_eligible(q, k, s, t_max, d):
+        if (
+            contiguous_positions
+            and not differentiable
+            and _flash_eligible(q, k, s, t_max, d)
+        ):
             sc = _pick_sc(s, nh // k.shape[1])
             return flash_attention(
                 q, k, v, positions, seq_lens, scale=scale,

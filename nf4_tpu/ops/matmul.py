@@ -241,6 +241,11 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
 
     ``x`` may have any leading batch shape with trailing dim ``n``; the
     result has the same leading shape with trailing dim ``m``.
+
+    Differentiable with respect to ``x`` (the packed weight is frozen —
+    the QLoRA contract): the backward pass dequantizes ``W`` once and
+    computes ``dx = g @ W`` in fp32.  The Pallas forward kernels have no
+    VJP of their own, so this is routed through :func:`jax.custom_vjp`.
     """
     m, n = pw.shape
     if pw.shards > 1:
@@ -254,11 +259,52 @@ def nf4_matmul(x: jax.Array, pw: PackedNF4, out_dtype=None) -> jax.Array:
             for s, v in enumerate(chunk_views(pw))
         ]
         return sum(parts[1:], parts[0])
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.dtype(x.dtype)
+    return _nf4_matmul_vjp(x, pw, out_dtype, jnp.dtype(x.dtype))
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _nf4_matmul_vjp(x, pw, out_dtype, x_dtype):
+    return _nf4_matmul_impl(x, pw, out_dtype)
+
+
+def _nf4_matmul_fwd(x, pw, out_dtype, x_dtype):
+    return _nf4_matmul_impl(x, pw, out_dtype), pw
+
+
+def _nf4_matmul_bwd(out_dtype, x_dtype, pw, g):
+    # y = x @ W^T  =>  dx = g @ W.  Dequantize W exactly (fp32 — matches
+    # the jnp reference path's weight values bit-for-bit) and contract in
+    # fp32; one dequant per backward is the standard QLoRA cost model
+    # (the base weight stays packed in HBM between steps).
+    from .dequant import dequantize_t
+
+    wt = dequantize_t(pw, dtype=jnp.float32)  # [n, m]
+    dx = jnp.dot(
+        g.astype(jnp.float32),
+        wt.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(x_dtype)
+    # The packed weight gets a zero cotangent: float0 for the integer
+    # bytes (the JAX convention for non-differentiable integer leaves),
+    # fp32 zeros for the scales.
+    dpw = pw.replace(
+        packed=np.zeros(pw.packed.shape, dtype=jax.dtypes.float0),
+        scales=jnp.zeros_like(pw.scales),
+    )
+    return dx, dpw
+
+
+_nf4_matmul_vjp.defvjp(_nf4_matmul_fwd, _nf4_matmul_bwd)
+
+
+def _nf4_matmul_impl(x: jax.Array, pw: PackedNF4, out_dtype) -> jax.Array:
+    """Single-shard dispatch body of :func:`nf4_matmul` (fwd only)."""
+    m, n = pw.shape
     m_pad, n_pad = pw.padded_shape
     *batch, xn = x.shape
     assert xn == n, f"x trailing dim {xn} != in_features {n}"
-    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
 
     B = 1
     for d in batch:

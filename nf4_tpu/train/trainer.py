@@ -1,0 +1,109 @@
+"""Jit-compiled LoRA training step over frozen NF4 weights.
+
+The loss is next-token cross entropy through ``models.llama.train_forward``
+(cache-free, differentiable attention); gradients are taken with respect
+to the LoRA adapters ONLY — the packed base weights ride along as frozen
+jit arguments (never closed over: baking ~GB of weights into the HLO
+breaks the remote-compile path, see CLAUDE.md), and ``nf4_matmul``'s
+custom VJP stops at activations.
+
+Data parallelism: pass a mesh (``parallel.mesh.make_mesh``) and the step
+shards the batch over its ``dp`` axis with ``shard_map``, ``pmean``-ing
+loss and adapter gradients over ICI before a replicated optimizer update —
+the optimizer math stays identical to single-device (tested on the 8-way
+CPU mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..models.llama import LlamaConfig, LlamaParams, train_forward
+from .lora import LoraParams
+
+__all__ = ["lm_loss", "make_train_step"]
+
+
+def lm_loss(
+    params: LlamaParams,
+    lora: Optional[LoraParams],
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, S] int32
+    loss_mask: Optional[jax.Array] = None,  # [B, S] — weight of each TARGET token
+    remat: bool = False,
+) -> jax.Array:
+    """Mean next-token cross entropy (fp32 scalar).
+
+    Position ``t`` of ``loss_mask`` weights the prediction OF token ``t``
+    (from position ``t-1``); position 0 is ignored.  Without a mask, all
+    ``B*(S-1)`` predictions count equally.
+    """
+    logits = train_forward(params, cfg, tokens[:, :-1], lora=lora, remat=remat)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if loss_mask is None:
+        return nll.mean()
+    m = loss_mask[:, 1:].astype(jnp.float32)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def make_train_step(
+    cfg: LlamaConfig,
+    optimizer: optax.GradientTransformation,
+    remat: bool = False,
+    mesh=None,
+    data_axis: str = "dp",
+):
+    """Build ``step(params, lora, opt_state, tokens, loss_mask=None) ->
+    (lora, opt_state, loss)``, jit-compiled.
+
+    With ``mesh``, ``tokens``/``loss_mask`` are consumed shard-wise over
+    ``data_axis`` (global batch must divide the axis size); adapters,
+    base params, and optimizer state are replicated.
+    """
+
+    def grads_of(params, lora, tokens, loss_mask):
+        return jax.value_and_grad(
+            lambda lo: lm_loss(params, lo, cfg, tokens, loss_mask, remat=remat)
+        )(lora)
+
+    if mesh is None:
+
+        @jax.jit
+        def step(params, lora, opt_state, tokens, loss_mask=None):
+            loss, grads = grads_of(params, lora, tokens, loss_mask)
+            updates, opt_state = optimizer.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        return step
+
+    def sharded_grads(params, lora, tokens, loss_mask):
+        loss, grads = grads_of(params, lora, tokens, loss_mask)
+        # Equal shard sizes => pmean of per-shard means IS the global mean
+        # (exactly, for the unmasked loss; for masked losses each shard's
+        # mask-weighted mean is pmean'd — weight shards evenly).
+        loss = jax.lax.pmean(loss, data_axis)
+        grads = jax.lax.pmean(grads, data_axis)
+        return loss, grads
+
+    @jax.jit
+    def step(params, lora, opt_state, tokens, loss_mask=None):
+        if loss_mask is None:
+            loss_mask = jnp.ones(tokens.shape, jnp.float32)
+        loss, grads = jax.shard_map(
+            sharded_grads,
+            mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, lora, tokens, loss_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    return step
