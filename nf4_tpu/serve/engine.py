@@ -162,21 +162,23 @@ def _decode_multi_impl(
 
 
 def _decode_multi_impl_batched(
-    params, token, cache, positions, gen_mask, keys, bp, step_idx,
+    params, token, cache, positions, gen_mask, keys, bp, step_idx, bias,
     *, step, n_steps
 ):
     """Per-request variant of :func:`_decode_multi_impl`: sampling
     parameters arrive as a traced :class:`BatchedSampling` pytree (one row
     per slot), so ONE compilation per chunk length serves every parameter
     mix.  ``step_idx`` [B] carries each slot's generated-token count so
-    seeded rows stay reproducible across chunk boundaries."""
+    seeded rows stay reproducible across chunk boundaries; ``bias`` is
+    the per-slot dense logit-bias grid (or None)."""
 
     def body(carry, key_i):
         tok, cache, pos, mask, sidx = carry
         logits, cache = step(params, token=tok, cache=cache, positions=pos)
         lg = logits.astype(jnp.float32)
         nxt = sample_batched(
-            lg, bp, key_i, generated_mask=mask, step_idx=sidx
+            lg, bp, key_i, generated_mask=mask, step_idx=sidx,
+            logit_bias=bias,
         )
         lp = jax.nn.log_softmax(lg, axis=-1)[
             jnp.arange(lg.shape[0]), nxt
@@ -514,6 +516,7 @@ class Engine:
                     sampling.seed is not None
                     or sampling.presence_penalty != 0.0
                     or sampling.frequency_penalty != 0.0
+                    or sampling.logit_bias
                 )
                 else None
             )
@@ -630,12 +633,25 @@ class Engine:
         # Per-slot sampling params (per-request mode); idle slots keep a
         # harmless default — their sampled tokens are discarded anyway.
         slot_sp: List[SamplingParams] = [SamplingParams()] * B
+        # Per-slot dense logit-bias rows, device-resident; rows are
+        # replaced at refill (rare) so decode steps upload nothing.
+        use_bias = any(p.logit_bias for p in sps_all)
+        slot_bias = (
+            jnp.zeros((B, cfg.vocab_size), jnp.float32) if use_bias else None
+        )
+
+        def _bias_rows(sps):
+            rows = np.zeros((len(sps), cfg.vocab_size), np.float32)
+            for i, p in enumerate(sps):
+                for t, bias in p.logit_bias:
+                    rows[i, int(t)] = float(bias)
+            return jnp.asarray(rows)
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
             groups as real batches (group sizes in {4, 2, 1} so the jit
             compiles a bounded set of (bucket, group) shapes)."""
-            nonlocal cache, gen_mask
+            nonlocal cache, gen_mask, slot_bias
             from collections import defaultdict
 
             pending = []  # (slot, request, prompt, bucket)
@@ -686,10 +702,20 @@ class Engine:
                     else:
                         for s_, r_, _p, _b in chunk:
                             slot_sp[s_] = per_req[r_]
+                        chunk_sps = [
+                            per_req[r_] for _s, r_, _p, _b in chunk
+                        ]
+                        chunk_bias = None
+                        if slot_bias is not None:
+                            chunk_bias = _bias_rows(chunk_sps)
+                            slot_bias = slot_bias.at[
+                                jnp.asarray(slots)
+                            ].set(chunk_bias)
                         first = np.asarray(
                             self._sample_perreq(
                                 last_logits,
-                                [per_req[r_] for _s, r_, _p, _b in chunk],
+                                chunk_sps,
+                                logit_bias=chunk_bias,
                             )
                         )
                     if return_logprobs:
@@ -754,6 +780,7 @@ class Engine:
                 p.repetition_penalty == 1.0
                 and p.presence_penalty == 0.0
                 and p.frequency_penalty == 0.0
+                and not p.logit_bias
                 and p.seed is None
                 for p in active_sps
             )
@@ -875,6 +902,7 @@ class Engine:
                                     ],
                                     dtype=jnp.int32,
                                 ),
+                                slot_bias,
                             )
                         )
                     toks = np.asarray(toks_d)  # [n, B]
@@ -919,6 +947,7 @@ class Engine:
                     slot_sp,
                     gen_mask,
                     step_idx=[len(slot_generated[s]) for s in range(B)],
+                    logit_bias=slot_bias,
                 )
             next_tok = np.asarray(next_dev)
             if return_logprobs:
@@ -1031,7 +1060,9 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sample(logits, sampling, sub, generated_mask=mask)
 
-    def _sample_perreq(self, logits, sps, gen_mask=None, step_idx=None):
+    def _sample_perreq(
+        self, logits, sps, gen_mask=None, step_idx=None, logit_bias=None
+    ):
         """Sample [B] tokens with row-wise params; draws one key for the
         whole batch only when some row is stochastic.  ``step_idx`` [B]
         is each row's generated-token count (keys seeded rows)."""
@@ -1043,6 +1074,6 @@ class Engine:
             else jnp.zeros(logits.shape[0], jnp.int32)
         )
         if all(p.temperature == 0.0 for p in sps):
-            return _sample_batched_jit(logits, bp, None, mask, sidx)
+            return _sample_batched_jit(logits, bp, None, mask, sidx, logit_bias)
         self._key, sub = jax.random.split(self._key)
-        return _sample_batched_jit(logits, bp, sub, mask, sidx)
+        return _sample_batched_jit(logits, bp, sub, mask, sidx, logit_bias)

@@ -35,6 +35,12 @@ class SamplingParams:
     # where count is how many times the token was generated this request.
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
+    # Per-token logit offsets ((token_id, bias) pairs; a tuple so the
+    # dataclass stays hashable).  Added after the penalties and before
+    # greedy argmax / filtering, so +-large values force / ban tokens in
+    # every mode.  The engine densifies these to a device-resident [B, V]
+    # row per slot.
+    logit_bias: tuple = ()
     # Host-side per-request controls (checked by the engine's scheduler,
     # never traced into device programs):
     # extra end-of-sequence token ids on top of the engine's eos_token and
@@ -199,6 +205,7 @@ def sample_batched(
     key: Optional[jax.Array] = None,
     generated_mask: Optional[jax.Array] = None,
     step_idx: Optional[jax.Array] = None,
+    logit_bias: Optional[jax.Array] = None,  # [B, V] fp32
 ) -> jax.Array:
     """Row-wise :func:`sample`: each row uses its own parameters.
 
@@ -231,6 +238,8 @@ def sample_batched(
                 bp.presence_penalty[:, None] * emitted.astype(jnp.float32)
                 + bp.frequency_penalty[:, None] * cnt
             )
+    if logit_bias is not None:
+        logits = logits + logit_bias
 
     greedy = bp.temperature == 0.0  # [B]
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -154,6 +154,55 @@ class TestEnginePenalties:
         assert res[0].tokens == solo[0].tokens
         assert res[1].tokens == plain[1].tokens
 
+    def test_logit_bias_bans_and_forces(self, setup):
+        """-1000 bans the greedy token; +1000 forces a chosen one — in
+        the refill first-token, multi-step, and single-step paths."""
+        cfg, params = setup
+        base = Engine(params, cfg, batch_size=1, eos_token=-1).generate(
+            [[3, 5, 7]], max_new_tokens=6
+        )[0].tokens
+        banned = base[0]
+
+        for chunk in (1, 4):
+            eng = Engine(
+                params, cfg, batch_size=1, eos_token=-1, decode_chunk=chunk
+            )
+            res = eng.generate(
+                [[3, 5, 7]],
+                max_new_tokens=6,
+                sampling=SamplingParams(logit_bias=((banned, -1000.0),)),
+            )
+            assert banned not in res[0].tokens, f"chunk {chunk}"
+
+            forced = eng.generate(
+                [[3, 5, 7]],
+                max_new_tokens=4,
+                sampling=SamplingParams(logit_bias=((9, 1000.0),)),
+            )
+            assert forced[0].tokens == [9, 9, 9, 9], f"chunk {chunk}"
+
+    def test_logit_bias_per_request_isolation(self, setup):
+        """A biased request next to a plain one leaves the plain stream
+        untouched, including across a refill."""
+        cfg, params = setup
+        prompts = [[3, 5, 7], [2, 4, 6], [8, 1, 5]]
+        plain = Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+            prompts, max_new_tokens=5
+        )
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1)
+        res = eng.generate(
+            prompts,
+            max_new_tokens=5,
+            sampling=[
+                SamplingParams(logit_bias=((9, 1000.0),)),
+                SamplingParams(),
+                SamplingParams(),
+            ],
+        )
+        assert res[0].tokens == [9] * 5
+        assert res[1].tokens == plain[1].tokens
+        assert res[2].tokens == plain[2].tokens
+
     def test_spec_falls_back(self, setup):
         cfg, params = setup
         eng = Engine(params, cfg, batch_size=1, eos_token=-1, spec_k=3)
