@@ -5,11 +5,18 @@ top of :class:`serve.engine.Engine`:
 
 * ``POST /v1/completions`` — ``{"prompt": [ids] | "text", "max_tokens",
   "temperature", "top_k", "top_p", "min_p", "repetition_penalty",
+  "presence_penalty", "frequency_penalty", "logit_bias": {"id": bias},
   "stop": [ids], "seed": int, "n": int, "logprobs": bool,
   "stream": bool}``.  String prompts need the server to be constructed
   with a tokenizer (anything with ``encode(str) -> ids`` /
   ``decode(ids) -> str`` — a HF tokenizer fits).  ``seed`` makes the
   response reproducible (choice ``i`` of ``n`` uses ``seed + i``).
+* ``POST /v1/chat/completions`` — same sampling fields with
+  ``"messages": [{"role", "content"}, ...]``.  The prompt is rendered by
+  the tokenizer's ``apply_chat_template`` when it has one (HF
+  tokenizers), else by a minimal generic template; responses carry the
+  OpenAI chat shape (``message.content``; streaming sends
+  ``delta.content`` chunks).
 * ``GET /v1/models`` and ``GET /health``.
 * ``"stream": true`` responds with server-sent events (one ``data:`` JSON
   line per token, then ``data: [DONE]``), fed by the engine's
@@ -71,6 +78,13 @@ def _params_from_body(
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        # OpenAI wire format: {"<token_id>": bias} (JSON keys are strings).
+        logit_bias=tuple(
+            sorted(
+                (int(t), float(b))
+                for t, b in (body.get("logit_bias") or {}).items()
+            )
+        ),
         stop_tokens=tuple(body.get("stop", ()) or ()),
         max_new_tokens=int(body.get("max_tokens", 64)),
         # "n" completions with a seed get distinct derived seeds so the
@@ -161,21 +175,29 @@ class CompletionServer:
 
     # -- request entry ------------------------------------------------------
 
-    def submit(self, body: Dict[str, Any], seed_offset: int = 0) -> _Pending:
-        prompt = body.get("prompt")
-        if isinstance(prompt, str):
-            if self.tokenizer is None:
+    def submit(
+        self,
+        body: Dict[str, Any],
+        seed_offset: int = 0,
+        tokens: Optional[List[int]] = None,
+    ) -> _Pending:
+        if tokens is None:
+            prompt = body.get("prompt")
+            if isinstance(prompt, str):
+                if self.tokenizer is None:
+                    raise ValueError(
+                        "string prompt but the server has no tokenizer; "
+                        "send token ids"
+                    )
+                tokens = list(self.tokenizer.encode(prompt))
+            elif isinstance(prompt, (list, tuple)) and all(
+                isinstance(t, int) for t in prompt
+            ):
+                tokens = list(prompt)
+            else:
                 raise ValueError(
-                    "string prompt but the server has no tokenizer; "
-                    "send token ids"
+                    "prompt must be a string or a list of token ids"
                 )
-            tokens = list(self.tokenizer.encode(prompt))
-        elif isinstance(prompt, (list, tuple)) and all(
-            isinstance(t, int) for t in prompt
-        ):
-            tokens = list(prompt)
-        else:
-            raise ValueError("prompt must be a string or a list of token ids")
         pending = _Pending(
             tokens=tokens,
             params=_params_from_body(body, seed_offset),
@@ -186,7 +208,9 @@ class CompletionServer:
         self._queue.put(pending)
         return pending
 
-    def submit_n(self, body: Dict[str, Any]) -> List[_Pending]:
+    def submit_n(
+        self, body: Dict[str, Any], tokens: Optional[List[int]] = None
+    ) -> List[_Pending]:
         """Submit ``n`` independent completions of one prompt (they batch
         into the same wave; with a seed, choice i uses seed+i)."""
         n = int(body.get("n", 1))
@@ -194,7 +218,37 @@ class CompletionServer:
             raise ValueError("n must be >= 1")
         if n > 1 and body.get("stream"):
             raise ValueError("streaming is single-choice; use n=1")
-        return [self.submit(body, seed_offset=i) for i in range(n)]
+        return [
+            self.submit(body, seed_offset=i, tokens=tokens) for i in range(n)
+        ]
+
+    def chat_tokens(self, body: Dict[str, Any]) -> List[int]:
+        """Render ``messages`` to prompt token ids.
+
+        Uses the tokenizer's own chat template when it has one (the HF
+        contract: ``apply_chat_template(messages, tokenize=True,
+        add_generation_prompt=True) -> ids``); otherwise a minimal
+        ChatML-ish fallback so any encode/decode tokenizer still serves
+        chat traffic.
+        """
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("messages must be a non-empty list")
+        for m in messages:
+            if not isinstance(m, dict) or "role" not in m or "content" not in m:
+                raise ValueError("each message needs role and content")
+        if self.tokenizer is None:
+            raise ValueError("chat completions need a tokenizer")
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            return list(
+                self.tokenizer.apply_chat_template(
+                    messages, tokenize=True, add_generation_prompt=True
+                )
+            )
+        text = "".join(
+            f"<|{m['role']}|>\n{m['content']}\n" for m in messages
+        ) + "<|assistant|>\n"
+        return list(self.tokenizer.encode(text))
 
     def _decode_text(self, ids: Sequence[int]) -> Optional[str]:
         if self.tokenizer is None:
@@ -216,13 +270,20 @@ class CompletionServer:
         return choice
 
     def completion_payload(
-        self, pendings: Sequence[_Pending]
+        self, pendings: Sequence[_Pending], chat: bool = False
     ) -> Dict[str, Any]:
         out = sum(len(p.result.tokens) for p in pendings)
+        choices = [self._choice(p, i) for i, p in enumerate(pendings)]
+        if chat:
+            for c in choices:
+                c["message"] = {
+                    "role": "assistant",
+                    "content": c.pop("text", None),
+                }
         return {
-            "object": "text_completion",
+            "object": "chat.completion" if chat else "text_completion",
             "model": self.model_name,
-            "choices": [self._choice(p, i) for i, p in enumerate(pendings)],
+            "choices": choices,
             "usage": {
                 "prompt_tokens": len(pendings[0].tokens),
                 "completion_tokens": out,
@@ -271,13 +332,15 @@ class CompletionServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/v1/completions":
+                chat = self.path == "/v1/chat/completions"
+                if self.path != "/v1/completions" and not chat:
                     self._json(404, {"error": "not found"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    pendings = server.submit_n(body)
+                    tokens = server.chat_tokens(body) if chat else None
+                    pendings = server.submit_n(body, tokens=tokens)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
@@ -289,7 +352,9 @@ class CompletionServer:
                     if errs:
                         self._json(500, {"error": errs[0]})
                     else:
-                        self._json(200, server.completion_payload(pendings))
+                        self._json(
+                            200, server.completion_payload(pendings, chat=chat)
+                        )
                     return
                 # SSE streaming: one data: line per emitted token.
                 self.send_response(200)
@@ -299,10 +364,22 @@ class CompletionServer:
                     tok = pending.stream_q.get()
                     if tok is None:
                         break
-                    chunk = {"token": int(tok)}
                     text = server._decode_text([int(tok)])
-                    if text is not None:
-                        chunk["text"] = text
+                    if chat:
+                        chunk = {
+                            "object": "chat.completion.chunk",
+                            "choices": [
+                                {
+                                    "index": 0,
+                                    "delta": {"content": text},
+                                    "token": int(tok),
+                                }
+                            ],
+                        }
+                    else:
+                        chunk = {"token": int(tok)}
+                        if text is not None:
+                            chunk["text"] = text
                     self.wfile.write(
                         b"data: " + json.dumps(chunk).encode() + b"\n\n"
                     )

@@ -210,6 +210,135 @@ def test_bad_requests(served):
     assert code == 400
 
 
+def test_logit_bias_wire_format(served):
+    """OpenAI's {"token_id": bias} JSON map (string keys) bans the greedy
+    token through the network boundary."""
+    url, twin = served
+    base = twin.generate([[3, 5, 7]], max_new_tokens=5)[0].tokens
+    banned = base[0]
+    code, body = _post(
+        url,
+        {
+            "prompt": [3, 5, 7],
+            "max_tokens": 5,
+            "logit_bias": {str(banned): -1000.0},
+        },
+    )
+    assert code == 200
+    assert banned not in body["choices"][0]["tokens"]
+
+
+def _post_chat(url, body, timeout=300):
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_chat_completion_fallback_template(served):
+    """Without apply_chat_template, the generic template renders and the
+    response matches engine.generate on the same rendered ids."""
+    url, twin = served
+    messages = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+    ]
+    rendered = "".join(
+        f"<|{m['role']}|>\n{m['content']}\n" for m in messages
+    ) + "<|assistant|>\n"
+    ids = ToyTokenizer().encode(rendered)
+    want = twin.generate([ids], max_new_tokens=5)[0]
+
+    code, body = _post_chat(url, {"messages": messages, "max_tokens": 5})
+    assert code == 200
+    assert body["object"] == "chat.completion"
+    choice = body["choices"][0]
+    assert choice["tokens"] == want.tokens
+    assert choice["message"]["role"] == "assistant"
+    assert isinstance(choice["message"]["content"], str)
+    assert body["usage"]["prompt_tokens"] == len(ids)
+
+
+def test_chat_uses_tokenizer_template_when_present(served):
+    """A tokenizer exposing apply_chat_template (the HF contract) renders
+    the prompt itself."""
+    url, twin = served
+
+    class TemplTok(ToyTokenizer):
+        def apply_chat_template(self, messages, tokenize, add_generation_prompt):
+            assert tokenize and add_generation_prompt
+            return [7, 7, 7]
+
+    # The served fixture doesn't expose the server; spin a dedicated one.
+    from nf4_tpu.models import configs
+    from nf4_tpu.models.llama import init_params
+    from nf4_tpu.serve.api import CompletionServer
+    from nf4_tpu.serve.engine import Engine
+
+    cfg = configs.TINY_TEST
+    params = init_params(cfg, seed=0)
+    srv = CompletionServer(
+        Engine(params, cfg, batch_size=1, eos_token=-1), tokenizer=TemplTok()
+    )
+    port = srv.start(port=0)
+    try:
+        want = twin.generate([[7, 7, 7]], max_new_tokens=4)[0]
+        code, body = _post_chat(
+            f"http://127.0.0.1:{port}",
+            {"messages": [{"role": "user", "content": "x"}], "max_tokens": 4},
+        )
+        assert code == 200
+        assert body["choices"][0]["tokens"] == want.tokens
+    finally:
+        srv.stop()
+
+
+def test_chat_streaming_deltas(served):
+    url, twin = served
+    messages = [{"role": "user", "content": "go"}]
+    rendered = "<|user|>\ngo\n<|assistant|>\n"
+    ids = ToyTokenizer().encode(rendered)
+    want = twin.generate([ids], max_new_tokens=4)[0]
+    req = urllib.request.Request(
+        url + "/v1/chat/completions",
+        data=json.dumps(
+            {"messages": messages, "max_tokens": 4, "stream": True}
+        ).encode(),
+        method="POST",
+    )
+    toks = []
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            payload = line[len("data: "):]
+            if payload == "[DONE]":
+                break
+            chunk = json.loads(payload)
+            assert chunk["object"] == "chat.completion.chunk"
+            assert "content" in chunk["choices"][0]["delta"]
+            toks.append(chunk["choices"][0]["token"])
+    assert toks == want.tokens
+
+
+def test_chat_bad_messages(served):
+    url, _ = served
+    code, _ = _post_chat(url, {"messages": []})
+    assert code == 400
+    code, _ = _post_chat(url, {"messages": [{"role": "user"}]})
+    assert code == 400
+    code, _ = _post_chat(url, {})
+    assert code == 400
+
+
 def test_wave_stats(served):
     url, _ = served
     with urllib.request.urlopen(url + "/health", timeout=30) as r:
