@@ -59,6 +59,7 @@ def make_train_step(
     remat: bool = False,
     mesh=None,
     data_axis: str = "dp",
+    accum_steps: int = 1,
 ):
     """Build ``step(params, lora, opt_state, tokens, loss_mask=None) ->
     (lora, opt_state, loss)``, jit-compiled.
@@ -66,6 +67,14 @@ def make_train_step(
     With ``mesh``, ``tokens``/``loss_mask`` are consumed shard-wise over
     ``data_axis`` (global batch must divide the axis size); adapters,
     base params, and optimizer state are replicated.
+
+    ``accum_steps > 1`` splits the batch into that many microbatches and
+    runs them sequentially under ``lax.scan``, averaging gradients before
+    ONE optimizer update — activation memory scales with the microbatch,
+    so the effective batch is bounded by HBM only through ``B / accum``.
+    The batch (per-shard batch, under a mesh) must divide evenly; as with
+    data parallelism, a masked loss averages per-microbatch means, so
+    weight microbatches evenly for exact global-mean semantics.
     """
 
     def grads_of(params, lora, tokens, loss_mask):
@@ -74,35 +83,60 @@ def make_train_step(
         )(lora)
 
     if mesh is None:
+        loss_and_grads = grads_of
+    else:
 
-        @jax.jit
-        def step(params, lora, opt_state, tokens, loss_mask=None):
+        def sharded_grads(params, lora, tokens, loss_mask):
             loss, grads = grads_of(params, lora, tokens, loss_mask)
-            updates, opt_state = optimizer.update(grads, opt_state, lora)
-            return optax.apply_updates(lora, updates), opt_state, loss
+            # Equal shard sizes => pmean of per-shard means IS the global
+            # mean (exactly, for the unmasked loss; for masked losses each
+            # shard's mask-weighted mean is pmean'd — weight shards evenly).
+            loss = jax.lax.pmean(loss, data_axis)
+            grads = jax.lax.pmean(grads, data_axis)
+            return loss, grads
 
-        return step
+        def loss_and_grads(params, lora, tokens, loss_mask):
+            if loss_mask is None:
+                loss_mask = jnp.ones(tokens.shape, jnp.float32)
+            return jax.shard_map(
+                sharded_grads,
+                mesh=mesh,
+                in_specs=(P(), P(), P(data_axis), P(data_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, lora, tokens, loss_mask)
 
-    def sharded_grads(params, lora, tokens, loss_mask):
-        loss, grads = grads_of(params, lora, tokens, loss_mask)
-        # Equal shard sizes => pmean of per-shard means IS the global mean
-        # (exactly, for the unmasked loss; for masked losses each shard's
-        # mask-weighted mean is pmean'd — weight shards evenly).
-        loss = jax.lax.pmean(loss, data_axis)
-        grads = jax.lax.pmean(grads, data_axis)
-        return loss, grads
+    def accum_loss_and_grads(params, lora, tokens, loss_mask):
+        b, s = tokens.shape
+        assert b % accum_steps == 0, (
+            f"batch {b} must divide accum_steps {accum_steps}"
+        )
+        if loss_mask is None:
+            loss_mask = jnp.ones(tokens.shape, jnp.float32)
+        tok_m = tokens.reshape(accum_steps, b // accum_steps, s)
+        mask_m = loss_mask.reshape(accum_steps, b // accum_steps, s)
+
+        def body(acc, micro):
+            t, m = micro
+            loss, grads = loss_and_grads(params, lora, t, m)
+            acc_loss, acc_grads = acc
+            return (
+                acc_loss + loss,
+                jax.tree.map(jnp.add, acc_grads, grads),
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, lora)
+        (loss, grads), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zeros), (tok_m, mask_m)
+        )
+        inv = 1.0 / accum_steps
+        return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
+    total = accum_loss_and_grads if accum_steps > 1 else loss_and_grads
 
     @jax.jit
     def step(params, lora, opt_state, tokens, loss_mask=None):
-        if loss_mask is None:
-            loss_mask = jnp.ones(tokens.shape, jnp.float32)
-        loss, grads = jax.shard_map(
-            sharded_grads,
-            mesh=mesh,
-            in_specs=(P(), P(), P(data_axis), P(data_axis)),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )(params, lora, tokens, loss_mask)
+        loss, grads = total(params, lora, tokens, loss_mask)
         updates, opt_state = optimizer.update(grads, opt_state, lora)
         return optax.apply_updates(lora, updates), opt_state, loss
 

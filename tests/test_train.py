@@ -187,6 +187,97 @@ class TestTrainStep:
             assert np.abs(a - b).max() / scale < 2e-2
 
 
+class TestGradAccum:
+    def test_accum_matches_full_batch(self, model):
+        """accum_steps=2 on one batch == the plain step on the same batch:
+        batch rows are independent, so the averaged microbatch gradients
+        equal the full-batch gradient (reassociation noise only)."""
+        rng = np.random.default_rng(5)
+        toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (4, 16)), jnp.int32)
+        lcfg = LoraConfig(rank=4)
+        opt = optax.adamw(1e-2)
+
+        lora_p = init_lora(CFG, lcfg, seed=0)
+        step_p = make_train_step(CFG, opt)
+        os_p = opt.init(lora_p)
+
+        lora_a = init_lora(CFG, lcfg, seed=0)
+        step_a = make_train_step(CFG, opt, accum_steps=2)
+        os_a = opt.init(lora_a)
+
+        for _ in range(3):
+            lora_p, os_p, lp = step_p(model, lora_p, os_p, toks)
+            lora_a, os_a, la = step_a(model, lora_a, os_a, toks)
+            np.testing.assert_allclose(float(lp), float(la), rtol=1e-3)
+
+        # Gradient math directly: one SGD(1.0) step makes the updated
+        # adapter init - grad, so the plain/accum difference IS the grad
+        # difference — compared to grad scale, without Adam's sqrt(v)
+        # normalization amplifying bf16 forward noise on tiny gradients.
+        sgd = optax.sgd(1.0)
+        g_p = jax.tree.map(
+            jnp.subtract,
+            init_lora(CFG, lcfg, seed=0),
+            make_train_step(CFG, sgd)(
+                model, init_lora(CFG, lcfg, seed=0),
+                sgd.init(init_lora(CFG, lcfg, seed=0)), toks,
+            )[0],
+        )
+        g_a = jax.tree.map(
+            jnp.subtract,
+            init_lora(CFG, lcfg, seed=0),
+            make_train_step(CFG, sgd, accum_steps=2)(
+                model, init_lora(CFG, lcfg, seed=0),
+                sgd.init(init_lora(CFG, lcfg, seed=0)), toks,
+            )[0],
+        )
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_a)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-6)
+            assert np.abs(a - b).max() / scale < 2e-2
+
+    def test_accum_respects_loss_mask(self, model):
+        """Masked rows stay ignored when they land in their own microbatch."""
+        rng = np.random.default_rng(6)
+        toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 16)), jnp.int32)
+        lora = init_lora(CFG, LoraConfig(rank=4), seed=0)
+        opt = optax.adamw(1e-2)
+        step = make_train_step(CFG, opt, accum_steps=2)
+        mask = jnp.asarray(np.stack([np.ones(16), np.zeros(16)]), jnp.float32)
+        _, _, masked = step(model, lora, opt.init(lora), toks, mask)
+        solo = float(lm_loss(model, lora, CFG, toks[:1]))
+        # accum averages microbatch means; the zero row's mean is 0/eps = 0,
+        # so the accum loss is half the solo loss.
+        np.testing.assert_allclose(float(masked), solo / 2, rtol=1e-5)
+
+    def test_accum_over_mesh(self, model):
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        rng = np.random.default_rng(7)
+        toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (16, 16)), jnp.int32)
+        lcfg = LoraConfig(rank=4)
+        opt = optax.adamw(1e-2)
+        lora = init_lora(CFG, lcfg, seed=0)
+        step = make_train_step(CFG, opt, mesh=make_mesh(dp=8), accum_steps=2)
+        os_ = opt.init(lora)
+        lora, os_, loss = step(model, lora, os_, toks)
+        assert np.isfinite(float(loss))
+
+        lora_s = init_lora(CFG, lcfg, seed=0)
+        step_s = make_train_step(CFG, opt)
+        _, _, loss_s = step_s(model, lora_s, opt.init(lora_s), toks)
+        np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-3)
+
+    def test_accum_bad_batch_raises(self, model, tokens):
+        opt = optax.adamw(1e-2)
+        step = make_train_step(CFG, opt, accum_steps=3)
+        lora = init_lora(CFG, LoraConfig(rank=4), seed=0)
+        with pytest.raises(AssertionError, match="divide"):
+            step(model, lora, opt.init(lora), tokens)  # batch 2, accum 3
+
+
 class TestSaveLoad:
     def test_roundtrip(self, model, tokens, tmp_path):
         lcfg = LoraConfig(rank=4, alpha=8.0, targets=("wqkv", "wo"))
