@@ -485,6 +485,7 @@ def _layer_forward(
     reduce_fn=None,
     ll=None,
     train: bool = False,
+    segment_ids=None,
 ):
     """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
@@ -539,6 +540,7 @@ def _layer_forward(
             sliding_window=cfg.sliding_window,
             contiguous_positions=True,
             differentiable=True,
+            segment_ids=segment_ids,
         )
     else:
         if cfg.kv_quant:
@@ -689,6 +691,8 @@ def train_forward(
     tokens: jax.Array,  # [B, S] int32
     lora=None,
     remat: bool = False,
+    positions=None,  # [B, S] segment-relative (packed rows); default arange
+    segment_ids=None,  # [B, S] example id per slot, -1 = padding
 ) -> jax.Array:
     """Full-sequence logits for fine-tuning: ``[B, S, V]`` fp32.
 
@@ -702,20 +706,26 @@ def train_forward(
     storage).  Gradients flow to ``lora`` (and any dense leaves of
     ``params``); packed NF4 weights are frozen by construction — their
     custom VJP only propagates to activations.
+
+    Packed rows (``train.data.pack_sft``): ``segment_ids`` makes
+    attention block-diagonal (a slot sees only earlier slots of its own
+    example) and ``positions`` carries segment-relative RoPE phases.  The
+    causal mask itself runs on SLOT indices, which stay ``arange(S)``
+    regardless — packing changes which slots match, not slot order.
     """
     b, s = tokens.shape
     x = params.embed[tokens]
     if cfg.scale_embeddings:
         x = (x.astype(jnp.float32) * (cfg.hidden_size**0.5)).astype(x.dtype)
-    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    slot_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     seq_lens = jnp.full((b,), s, dtype=jnp.int32)
-    cos, sin = rope_tables(cfg, positions)
+    cos, sin = rope_tables(cfg, slot_ids if positions is None else positions)
 
     def body(x, layer):
         lp, ll = layer
         x, _ = _layer_forward(
-            cfg, x, lp, None, positions, seq_lens, cos, sin,
-            ll=ll, train=True,
+            cfg, x, lp, None, slot_ids, seq_lens, cos, sin,
+            ll=ll, train=True, segment_ids=segment_ids,
         )
         return x, None
 

@@ -52,15 +52,19 @@ __all__ = [
 _NEG = -1e30
 
 
-def _visibility(t_ids, positions, seq_lens, sliding_window):
+def _visibility(t_ids, positions, seq_lens, sliding_window, q_seg=None, k_seg=None):
     """Bool visibility [B, S, C] for key slots ``t_ids`` [C] against query
     ``positions`` [B, S]: causal (t <= p), length-bounded (t < seq_len),
-    optionally sliding-window (t > p - w)."""
+    optionally sliding-window (t > p - w), optionally segment-equal
+    (``q_seg`` [B, S] == ``k_seg`` [B, C] — block-diagonal attention for
+    packed training rows)."""
     t = t_ids[None, None, :]
     p = positions[:, :, None]
     vis = (t <= p) & (t < seq_lens[:, None, None])
     if sliding_window is not None:
         vis = vis & (t > p - sliding_window)
+    if q_seg is not None:
+        vis = vis & (q_seg[:, :, None] == k_seg[:, None, :])
     return vis
 
 
@@ -75,10 +79,13 @@ def naive_attention(
     sliding_window: Optional[int] = None,
     k_scale: Optional[jax.Array] = None,  # [B, KV, T] fp32 absmax (int8 KV)
     v_scale: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,  # [B, S] (self-attn: S == T)
 ) -> jax.Array:
     b, nh, s, d = q.shape
     nkv, t_max = k.shape[1], k.shape[2]
     group = nh // nkv
+    if segment_ids is not None:
+        assert t_max == s, "segment_ids requires self-attention (S == T)"
     compute_dtype = q.dtype
     qg = q.reshape(b, nkv, group, s, d)
     scores = jnp.einsum(
@@ -91,7 +98,8 @@ def naive_attention(
     if k_scale is not None:
         scores = scores * (k_scale * (1.0 / 127.0))[:, :, None, None, :]
     vis = _visibility(
-        jnp.arange(t_max, dtype=jnp.int32), positions, seq_lens, sliding_window
+        jnp.arange(t_max, dtype=jnp.int32), positions, seq_lens, sliding_window,
+        q_seg=segment_ids, k_seg=segment_ids,
     )
     scores = jnp.where(vis[:, None, None, :, :], scores, _NEG)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -123,11 +131,19 @@ def chunked_attention(
     v_scale: Optional[jax.Array] = None,
     q_chunk: int = 512,
     kv_chunk: int = 512,
+    segment_ids: Optional[jax.Array] = None,  # [B, S] (self-attn: S == T)
 ) -> jax.Array:
     b, nh, s, d = q.shape
     nkv, t_max = k.shape[1], k.shape[2]
     group = nh // nkv
+    if segment_ids is not None:
+        assert t_max == s, "segment_ids requires self-attention (S == T)"
     compute_dtype = q.dtype
+
+    # Segment ids are consumed twice (query side, key side) with possibly
+    # different paddings; -1 never equals a real segment so padded slots
+    # stay invisible either way.
+    seg_q = seg_k = segment_ids
 
     # Pad S up to a q_chunk multiple; padded rows get position -1 (never
     # visible) and are sliced off at the end.
@@ -137,6 +153,10 @@ def chunked_attention(
         positions = jnp.pad(
             positions, ((0, 0), (0, s_pad - s)), constant_values=-1
         )
+        if seg_q is not None:
+            seg_q = jnp.pad(
+                seg_q, ((0, 0), (0, s_pad - s)), constant_values=-1
+            )
     # Pad T up to a kv_chunk multiple (slots >= seq_len are masked anyway).
     t_pad = -(-t_max // kv_chunk) * kv_chunk
     if t_pad != t_max:
@@ -146,6 +166,10 @@ def chunked_attention(
         if k_scale is not None:
             k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, t_pad - t_max)))
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, t_pad - t_max)))
+        if seg_k is not None:
+            seg_k = jnp.pad(
+                seg_k, ((0, 0), (0, t_pad - t_max)), constant_values=-1
+            )
 
     nq = s_pad // q_chunk
     nt = t_pad // kv_chunk
@@ -161,6 +185,11 @@ def chunked_attention(
         s0 = qi * q_chunk
         qt = jax.lax.dynamic_slice_in_dim(qg, s0, q_chunk, axis=3)
         pos_t = jax.lax.dynamic_slice_in_dim(positions, s0, q_chunk, axis=1)
+        seg_t = (
+            None
+            if seg_q is None
+            else jax.lax.dynamic_slice_in_dim(seg_q, s0, q_chunk, axis=1)
+        )
         max_pos = jnp.max(pos_t)  # padded rows carry -1: no effect on max
         min_pos = jnp.min(jnp.where(pos_t < 0, jnp.int32(2**30), pos_t))
 
@@ -183,7 +212,17 @@ def chunked_attention(
                     )
                     sc = sc * (ksc * (1.0 / 127.0))[:, :, None, None, :]
                 t_ids = t0 + jnp.arange(kv_chunk, dtype=jnp.int32)
-                vis = _visibility(t_ids, pos_t, seq_lens, sliding_window)
+                seg_c = (
+                    None
+                    if seg_k is None
+                    else jax.lax.dynamic_slice_in_dim(
+                        seg_k, t0, kv_chunk, axis=1
+                    )
+                )
+                vis = _visibility(
+                    t_ids, pos_t, seq_lens, sliding_window,
+                    q_seg=seg_t, k_seg=seg_c,
+                )
                 sc = jnp.where(vis[:, None, None, :, :], sc, _NEG)
 
                 m_new = jnp.maximum(m, sc.max(axis=-1))
@@ -478,6 +517,7 @@ def attention(
     q_chunk: int = 512, kv_chunk: int = 512,
     contiguous_positions: bool = False,
     differentiable: bool = False,
+    segment_ids=None,
 ):
     """Dispatching entry point; see module docstring for the contract.
 
@@ -489,6 +529,12 @@ def attention(
     kernel — it has no VJP — and routes through the pure-XLA chunked/naive
     paths, which JAX differentiates; their ``lax.scan`` structure also
     gives the backward pass bounded memory.
+
+    ``segment_ids`` [B, S] (self-attention only) adds block-diagonal
+    masking for packed training rows: a query sees a key only when their
+    segment ids match.  Positions must then be SLOT indices (the causal
+    check is ``t_slot <= q_position``); segment-relative RoPE phases are
+    the caller's job (``models.llama.train_forward``).
     """
     b, nh, s, d = q.shape
     t_max = k.shape[2]
@@ -497,6 +543,7 @@ def attention(
         if (
             contiguous_positions
             and not differentiable
+            and segment_ids is None
             and _flash_eligible(q, k, s, t_max, d)
         ):
             sc = _pick_sc(s, nh // k.shape[1])
@@ -509,6 +556,7 @@ def attention(
             q, k, v, positions, seq_lens, scale=scale,
             sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
             q_chunk=min(q_chunk, s), kv_chunk=kv_chunk,
+            segment_ids=segment_ids,
         )
     if s == 1 and t_max >= 4096:
         # Decode over a long cache: the chunk-skipping path reads (and
@@ -523,4 +571,5 @@ def attention(
     return naive_attention(
         q, k, v, positions, seq_lens, scale=scale,
         sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
+        segment_ids=segment_ids,
     )

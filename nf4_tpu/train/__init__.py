@@ -10,6 +10,7 @@ and data-parallel sharding (``trainer``), and adapter merging back into
 packed checkpoints for TP serving.
 """
 
+from .data import SFTBatch, pack_sft, pad_sft
 from .lora import (
     LoraAB,
     LoraConfig,
@@ -33,4 +34,7 @@ __all__ = [
     "load_lora",
     "lm_loss",
     "make_train_step",
+    "SFTBatch",
+    "pad_sft",
+    "pack_sft",
 ]
