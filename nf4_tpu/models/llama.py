@@ -575,10 +575,22 @@ def _layer_forward(
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
     # cast once after the reduction (matches single-device numerics).
-    o_proj = _reduced_matmul(attn, lp.wo, reduce_fn, out_dtype=jnp.float32)
+    # LoRA deltas on row-parallel projections are added to the PARTIAL
+    # product, before the TP reduction: with A sharded on in_features the
+    # per-device delta is a partial sum exactly like the base matmul, so
+    # one psum reduces both (identity reduce_fn single-device — same math).
+    # Without adapters the projection keeps its collective-matmul option
+    # (_reduced_matmul + NF4TPU_COLLECTIVE_MATMUL).
     if ll is not None:
-        o_proj = _add_delta(o_proj, _lora_delta(attn, ll.o))
-    x = x + o_proj.astype(x.dtype)
+        o_proj = _add_delta(
+            _matmul(attn, lp.wo, out_dtype=jnp.float32),
+            _lora_delta(attn, ll.o),
+        )
+        x = x + reduce_fn(o_proj).astype(x.dtype)
+    else:
+        x = x + _reduced_matmul(
+            attn, lp.wo, reduce_fn, out_dtype=jnp.float32
+        ).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
@@ -598,10 +610,16 @@ def _layer_forward(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
-    down = _reduced_matmul(h, lp.w_down, reduce_fn, out_dtype=jnp.float32)
     if ll is not None:
-        down = _add_delta(down, _lora_delta(h, ll.down))
-    x = x + down.astype(x.dtype)
+        down = _add_delta(
+            _matmul(h, lp.w_down, out_dtype=jnp.float32),
+            _lora_delta(h, ll.down),
+        )
+        x = x + reduce_fn(down).astype(x.dtype)
+    else:
+        x = x + _reduced_matmul(
+            h, lp.w_down, reduce_fn, out_dtype=jnp.float32
+        ).astype(x.dtype)
     return x, layer_cache
 
 
@@ -693,6 +711,7 @@ def train_forward(
     remat: bool = False,
     positions=None,  # [B, S] segment-relative (packed rows); default arange
     segment_ids=None,  # [B, S] example id per slot, -1 = padding
+    reduce_fn=None,  # TP psum inside shard_map (train.trainer tp path)
 ) -> jax.Array:
     """Full-sequence logits for fine-tuning: ``[B, S, V]`` fp32.
 
@@ -725,7 +744,7 @@ def train_forward(
         lp, ll = layer
         x, _ = _layer_forward(
             cfg, x, lp, None, slot_ids, seq_lens, cos, sin,
-            ll=ll, train=True, segment_ids=segment_ids,
+            reduce_fn=reduce_fn, ll=ll, train=True, segment_ids=segment_ids,
         )
         return x, None
 

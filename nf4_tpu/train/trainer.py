@@ -24,9 +24,58 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from ..models.llama import LlamaConfig, LlamaParams, train_forward
-from .lora import LoraParams
+from .lora import LoraAB, LoraParams
 
-__all__ = ["lm_loss", "make_train_step"]
+__all__ = ["lm_loss", "make_train_step", "lora_partition_specs"]
+
+
+def _map_ab(lora: LoraParams, f):
+    """Rebuild ``lora`` with each target's LoraAB replaced by
+    ``f(field_name, ab)`` (None targets stay None)."""
+    ll = lora.layers
+    return LoraParams(
+        layers=ll.replace(
+            **{
+                name: (None if getattr(ll, name) is None else f(name, getattr(ll, name)))
+                for name in ("qkv", "o", "gateup", "down")
+            }
+        )
+    )
+
+
+# Which side of each adapter is TP-sharded.  Column-parallel projections
+# (qkv, gateup) shard B on out_features — pack-time row interleaving
+# (models.llama.fuse_rows) makes each device's contiguous slice its own
+# [q;k;v] / [gate;up] block, so adapters initialized against the same
+# cfg.tp_shards slice contiguously too.  Row-parallel projections (o,
+# down) shard A on in_features; their delta joins the base partial sum
+# before the block's psum (models.llama._layer_forward).
+_COL_TARGETS = ("qkv", "gateup")
+
+
+def lora_partition_specs(lora: LoraParams, axis: str = "tp") -> LoraParams:
+    """LoraParams-shaped pytree of PartitionSpecs for TP train/serve."""
+    return _map_ab(
+        lora,
+        lambda name, ab: LoraAB(
+            a=P(None, None, None) if name in _COL_TARGETS else P(None, None, axis),
+            b=P(None, axis, None) if name in _COL_TARGETS else P(None, None, None),
+            scaling=ab.scaling,
+        ),
+    )
+
+
+def _lora_replicated_mask(lora: LoraParams) -> LoraParams:
+    """True where an adapter leaf is REPLICATED across tp — such leaves
+    receive only their device's gradient contribution inside shard_map and
+    need a psum; sharded leaves' gradients are already exact locally."""
+    return _map_ab(
+        lora,
+        lambda name, ab: LoraAB(
+            a=name in _COL_TARGETS, b=name not in _COL_TARGETS,
+            scaling=ab.scaling,
+        ),
+    )
 
 
 def lm_loss(
@@ -62,12 +111,59 @@ def lm_loss(
     return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def _tp_lm_loss(
+    params_local,
+    lora,
+    cfg_local,
+    tokens,
+    loss_mask,
+    positions,
+    segment_ids,
+    remat: bool,
+    axis: str,
+):
+    """lm_loss inside a TP shard_map: the forward runs on per-device local
+    weights with a psum reduce_fn, and the returned logits cover only this
+    device's lm_head vocab shard — the softmax normalizer and the target
+    logit are assembled with collectives (exact global cross entropy)."""
+    logits = train_forward(
+        params_local, cfg_local, tokens[:, :-1], lora=lora, remat=remat,
+        positions=None if positions is None else positions[:, :-1],
+        segment_ids=None if segment_ids is None else segment_ids[:, :-1],
+        reduce_fn=lambda t: jax.lax.psum(t, axis),
+    )
+    lg = logits.astype(jnp.float32)  # [B, S-1, V_local]
+    v_local = lg.shape[-1]
+    # Globally-stable logsumexp: the shared max is a constant wrt the
+    # gradient (d lse / d m = 0 analytically).  pmax has no AD rule, so
+    # the global max rides an all_gather over a stop_gradient'd operand
+    # ([B, S-1] — tiny next to the logits).
+    m = jnp.max(
+        jax.lax.all_gather(jax.lax.stop_gradient(lg.max(axis=-1)), axis),
+        axis=0,
+    )
+    lse = (
+        jnp.log(jax.lax.psum(jnp.exp(lg - m[..., None]).sum(axis=-1), axis)) + m
+    )
+    targets = tokens[:, 1:]
+    local_idx = targets - jax.lax.axis_index(axis) * v_local
+    in_shard = (local_idx >= 0) & (local_idx < v_local)
+    picked = jnp.take_along_axis(
+        lg, jnp.clip(local_idx, 0, v_local - 1)[..., None], axis=-1
+    )[..., 0]
+    target_logit = jax.lax.psum(jnp.where(in_shard, picked, 0.0), axis)
+    nll = lse - target_logit
+    w = loss_mask[:, 1:].astype(jnp.float32)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
 def make_train_step(
     cfg: LlamaConfig,
     optimizer: optax.GradientTransformation,
     remat: bool = False,
     mesh=None,
     data_axis: str = "dp",
+    model_axis: str = "tp",
     accum_steps: int = 1,
 ):
     """Build ``step(params, lora, opt_state, tokens, loss_mask=None) ->
@@ -76,6 +172,18 @@ def make_train_step(
     With ``mesh``, ``tokens``/``loss_mask`` are consumed shard-wise over
     ``data_axis`` (global batch must divide the axis size); adapters,
     base params, and optimizer state are replicated.
+
+    A TP-SHARDED checkpoint (``cfg.tp_shards > 1`` — quantize with
+    ``tp_shards=tp`` or ``repack_tp`` first) plus a mesh whose
+    ``model_axis`` matches turns on TENSOR-PARALLEL training
+    (fine-tuning models bigger than one chip): the base packed
+    weights shard exactly like serving (``parallel.tp.param_specs``),
+    adapters
+    shard per :func:`lora_partition_specs`, the loss is an exact global
+    cross entropy over the vocab-sharded lm_head, and replicated adapter
+    leaves' gradients are psum'd over tp before the (replicated)
+    optimizer update.  Composes with ``data_axis`` (dp x tp) and
+    ``accum_steps``.
 
     ``accum_steps > 1`` splits the batch into that many microbatches and
     runs them sequentially under ``lax.scan``, averaging gradients before
@@ -86,6 +194,19 @@ def make_train_step(
     weight microbatches evenly for exact global-mean semantics.
     """
 
+    # TP training keys off the CHECKPOINT being tp-sharded, not off the
+    # mesh alone: make_mesh(dp=N) leaves a size->1 tp axis behind, and a
+    # tp_shards=1 checkpoint on such a mesh must keep plain dp training
+    # (params replicated, tp devices redundant) — the serving Engine uses
+    # the same convention.
+    tp = 1
+    if mesh is not None and model_axis in mesh.shape and cfg.tp_shards > 1:
+        tp = mesh.shape[model_axis]
+        assert tp in (1, cfg.tp_shards), (
+            f"checkpoint tp_shards={cfg.tp_shards} but mesh {model_axis}="
+            f"{tp}: repack_tp the checkpoint or resize the mesh"
+        )
+
     def grads_of(params, lora, tokens, loss_mask, positions, segment_ids):
         return jax.value_and_grad(
             lambda lo: lm_loss(
@@ -94,7 +215,53 @@ def make_train_step(
             )
         )(lora)
 
-    if mesh is None:
+    if tp > 1:
+        from ..parallel.tp import localize_params, param_specs, tp_local_config
+
+        assert cfg.vocab_size % tp == 0, (
+            f"vocab {cfg.vocab_size} % tp {tp} != 0 (lm_head is vocab-sharded)"
+        )
+        cfg_local = tp_local_config(cfg, tp)
+        da = (
+            data_axis
+            if data_axis in mesh.shape and mesh.shape[data_axis] > 1
+            else None
+        )
+
+        def loss_and_grads(params, lora, tokens, loss_mask, positions, segs):
+            p_local = localize_params(params, tp)
+            lspecs = lora_partition_specs(lora, model_axis)
+            rep = _lora_replicated_mask(lora)
+
+            def tp_grads(params, lora, tokens, loss_mask, positions, segs):
+                loss, grads = jax.value_and_grad(
+                    lambda lo: _tp_lm_loss(
+                        params, lo, cfg_local, tokens, loss_mask,
+                        positions, segs, remat, model_axis,
+                    )
+                )(lora)
+                grads = jax.tree.map(
+                    lambda g, r: jax.lax.psum(g, model_axis) if r else g,
+                    grads,
+                    rep,
+                )
+                if da is not None:
+                    loss = jax.lax.pmean(loss, da)
+                    grads = jax.lax.pmean(grads, da)
+                return loss, grads
+
+            return jax.shard_map(
+                tp_grads,
+                mesh=mesh,
+                in_specs=(
+                    param_specs(p_local, model_axis), lspecs,
+                    P(da, None), P(da, None), P(da, None), P(da, None),
+                ),
+                out_specs=(P(), lspecs),
+                check_vma=False,
+            )(p_local, lora, tokens, loss_mask, positions, segs)
+
+    elif mesh is None:
         loss_and_grads = grads_of
     else:
 

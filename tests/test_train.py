@@ -278,6 +278,113 @@ class TestGradAccum:
             step(model, lora, opt.init(lora), tokens)  # batch 2, accum 3
 
 
+class TestTPTrain:
+    """Tensor-parallel LoRA training on the CPU mesh: the tp step must
+    track single-device training (same checkpoint via repack_tp)."""
+
+    def _tp_setup(self, tp):
+        from nf4_tpu.parallel.tp import repack_tp
+
+        base = init_params(CFG, seed=0)
+        params_tp, cfg_tp = repack_tp(base, CFG, tp)
+        return base, params_tp, cfg_tp
+
+    def test_tp_loss_matches_single_device_at_init(self, model, tokens):
+        """Zero-init adapters: the tp step's global-softmax loss equals
+        plain lm_loss on the same checkpoint."""
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        base, params_tp, cfg_tp = self._tp_setup(2)
+        mesh = make_mesh(tp=2)
+        opt = optax.sgd(0.0)  # lr 0: loss only, adapters untouched
+        lora = init_lora(cfg_tp, LoraConfig(rank=4), seed=0)
+        step = make_train_step(cfg_tp, opt, mesh=mesh)
+        _, _, loss_tp = step(params_tp, lora, opt.init(lora), tokens)
+        ref = float(lm_loss(base, None, CFG, tokens))
+        np.testing.assert_allclose(float(loss_tp), ref, rtol=1e-3)
+
+    def test_tp_training_tracks_single_device(self, model, tokens):
+        """Per-step losses of tp=2 training match single-device training
+        step for step (both from the zero adapter, same data)."""
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        base, params_tp, cfg_tp = self._tp_setup(2)
+        opt = optax.adamw(1e-2)
+
+        lora_s = init_lora(CFG, LoraConfig(rank=4), seed=0)
+        step_s = make_train_step(CFG, opt)
+        os_s = opt.init(lora_s)
+
+        mesh = make_mesh(tp=2)
+        lora_t = init_lora(cfg_tp, LoraConfig(rank=4), seed=0)
+        step_t = make_train_step(cfg_tp, opt, mesh=mesh)
+        os_t = opt.init(lora_t)
+
+        for i in range(4):
+            lora_s, os_s, ls = step_s(base, lora_s, os_s, tokens)
+            lora_t, os_t, lt = step_t(params_tp, lora_t, os_t, tokens)
+            # TP re-partitions the bf16 matmuls (different partial-sum
+            # association); Adam normalizes tiny grads, so the relative
+            # drift compounds ~0.1-0.2%/step. 6e-3 over 4 steps is noise.
+            np.testing.assert_allclose(float(ls), float(lt), rtol=6e-3)
+
+    def test_dp_tp_mesh_with_accum(self, model):
+        """dp=2 x tp=2 with accum_steps=2: runs, finite, tracks the plain
+        step on the same global batch."""
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        base, params_tp, cfg_tp = self._tp_setup(2)
+        rng = np.random.default_rng(9)
+        toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (8, 16)), jnp.int32)
+        opt = optax.adamw(1e-2)
+
+        mesh = make_mesh(dp=2, tp=2)
+        lora = init_lora(cfg_tp, LoraConfig(rank=4), seed=0)
+        step = make_train_step(cfg_tp, opt, mesh=mesh, accum_steps=2)
+        lora, _, loss = step(params_tp, lora, opt.init(lora), toks)
+
+        lora_s = init_lora(CFG, LoraConfig(rank=4), seed=0)
+        step_s = make_train_step(CFG, opt, accum_steps=2)
+        _, _, loss_s = step_s(base, lora_s, opt.init(lora_s), toks)
+        np.testing.assert_allclose(float(loss), float(loss_s), rtol=2e-3)
+
+    def test_tp_trained_adapter_merges_and_serves(self, model, tokens):
+        """Adapters trained under tp merge into the tp-basis checkpoint
+        and the merged model's loss matches merging the single-device-
+        trained adapters (same training trajectory, two shardings)."""
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        base, params_tp, cfg_tp = self._tp_setup(2)
+        opt = optax.adamw(1e-2)
+
+        lora_s = init_lora(CFG, LoraConfig(rank=4), seed=0)
+        step_s = make_train_step(CFG, opt)
+        os_s = opt.init(lora_s)
+        mesh = make_mesh(tp=2)
+        lora_t = init_lora(cfg_tp, LoraConfig(rank=4), seed=0)
+        step_t = make_train_step(cfg_tp, opt, mesh=mesh)
+        os_t = opt.init(lora_t)
+        for _ in range(3):
+            lora_s, os_s, _ = step_s(base, lora_s, os_s, tokens)
+            lora_t, os_t, _ = step_t(params_tp, lora_t, os_t, tokens)
+
+        merged_s = merge_lora(base, lora_s, CFG, quantize=False)
+        merged_t = merge_lora(
+            params_tp, jax.device_get(lora_t), cfg_tp, quantize=False
+        )
+        ls = float(lm_loss(merged_s, None, CFG, tokens))
+        lt = float(lm_loss(merged_t, None, cfg_tp, tokens))
+        np.testing.assert_allclose(lt, ls, rtol=5e-3)
+
+
 class TestSaveLoad:
     def test_roundtrip(self, model, tokens, tmp_path):
         lcfg = LoraConfig(rank=4, alpha=8.0, targets=("wqkv", "wo"))
