@@ -21,7 +21,8 @@ from .lora import (
     merge_lora,
     save_lora,
 )
-from .trainer import lm_loss, make_train_step
+from .state import load_train_state, save_train_state
+from .trainer import lm_loss, lora_partition_specs, make_train_step
 
 __all__ = [
     "LoraConfig",
@@ -34,6 +35,9 @@ __all__ = [
     "load_lora",
     "lm_loss",
     "make_train_step",
+    "lora_partition_specs",
+    "save_train_state",
+    "load_train_state",
     "SFTBatch",
     "pad_sft",
     "pack_sft",
