@@ -55,6 +55,16 @@ def test_benchmark_layers_small(monkeypatch, capsys):
     assert rc in (0, 1)
 
 
+def test_benchmark_training_small(capsys):
+    import benchmark_training
+
+    line = benchmark_training.main(["--small"])
+    out = capsys.readouterr().out
+    assert line["metric"] == "qlora_train_tokens_per_s"
+    assert line["value"] > 0 and line["step_s"] > 0
+    assert '"qlora_train_tokens_per_s"' in out
+
+
 def test_diagnostics_checks(capsys):
     import run_diagnostics
 
