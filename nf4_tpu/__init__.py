@@ -29,7 +29,7 @@ TPU-native API:
 """
 
 from .nf4.format import PackedNF4, pack_for_tpu, quantize_for_tpu, to_quant_state
-from .nf4.lut import NF4_CODE, dynamic_code, nf4_code
+from .nf4.lut import FP4_CODE, NF4_CODE, dynamic_code, get_code, nf4_code
 from .nf4.reference import QuantState, dequantize_nf4, quantize_nf4
 from .ops.dequant import dequantize, dequantize_fast, dequantize_t, dequantize_t_fast
 from .ops.matmul import nf4_matmul
@@ -38,7 +38,9 @@ __version__ = "0.2.0"
 
 __all__ = [
     "NF4_CODE",
+    "FP4_CODE",
     "nf4_code",
+    "get_code",
     "dynamic_code",
     "QuantState",
     "quantize_nf4",

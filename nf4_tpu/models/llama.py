@@ -86,7 +86,11 @@ class LlamaConfig:
     # quality where logits are most sensitive.
     quantize_lm_head: bool = False
     dtype: Any = jnp.bfloat16
-    quantize: bool = True  # NF4-quantize the linear projections
+    quantize: bool = True  # 4-bit-quantize the linear projections
+    # 4-bit codebook for the quantized linears: "nf4" (default) or "fp4"
+    # (bnb Linear4bit's default e2m1 table).  Every kernel, serving mode,
+    # and checkpoint format honors the choice per-weight.
+    quant_type: str = "nf4"
     # int8-quantize the KV cache (per-token-per-head absmax scales): halves
     # KV memory and read traffic — the dominant decode stream at long
     # context.  Scales fold into attention scores/probs, so the dequantized
@@ -167,7 +171,9 @@ class KVCache:
 
 def _linear(w: np.ndarray, cfg: LlamaConfig, shards: int = 1) -> Weight:
     if cfg.quantize:
-        return quantize_for_tpu(w, dtype=cfg.dtype, shards=shards)
+        return quantize_for_tpu(
+            w, dtype=cfg.dtype, shards=shards, quant_type=cfg.quant_type
+        )
     return jnp.asarray(w, dtype=cfg.dtype)
 
 
@@ -266,7 +272,10 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
 
 def _lm_head(w, cfg: LlamaConfig) -> Weight:
     if cfg.quantize_lm_head:
-        return quantize_for_tpu(np.asarray(w, np.float32), dtype=cfg.dtype)
+        return quantize_for_tpu(
+            np.asarray(w, np.float32), dtype=cfg.dtype,
+            quant_type=cfg.quant_type,
+        )
     return jnp.asarray(w, dtype=cfg.dtype)
 
 

@@ -242,11 +242,13 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     }
     shapes: Dict[str, Tuple[int, int]] = {}
     shards: Dict[str, int] = {}
+    quant_types: Dict[str, str] = {}
     if isinstance(params.lm_head, PackedNF4):
         arrays["lm_head.packed"] = np.asarray(params.lm_head.packed)
         arrays["lm_head.scales"] = np.asarray(params.lm_head.scales)
         shapes["lm_head"] = list(params.lm_head.shape)
         shards["lm_head"] = params.lm_head.shards
+        quant_types["lm_head"] = params.lm_head.quant_type
     else:
         arrays["lm_head"] = np.asarray(params.lm_head)
     for name in _LINEAR_FIELDS:
@@ -256,6 +258,7 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
             arrays[f"layers.{name}.scales"] = np.asarray(w.scales)
             shapes[name] = list(w.shape)
             shards[name] = w.shards
+            quant_types[name] = w.quant_type
         else:
             arrays[f"layers.{name}"] = np.asarray(w)
     for name in _NORM_FIELDS:
@@ -266,6 +269,7 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     meta = {
         "shapes": shapes,
         "shards": shards,
+        "quant_types": quant_types,
         "dtypes": {},
         "dtype": str(np.dtype(cfg.dtype).name),
     }
@@ -320,9 +324,10 @@ def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
     def get(key):
         return jnp.asarray(data[key])
 
-    # Older checkpoints predate the "shards" meta field; they were only
-    # ever written with shards=1.
+    # Older checkpoints predate the "shards" / "quant_types" meta fields;
+    # they were only ever written with shards=1, quant_type="nf4".
     meta_shards = meta.get("shards", {})
+    meta_qt = meta.get("quant_types", {})
 
     def packed_weight(key_base, meta_name):
         packed = get(f"{key_base}.packed")
@@ -335,6 +340,7 @@ def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
             padded_shape=(packed.shape[-1], 2 * packed.shape[-2]),
             dtype=jnp.dtype(cfg.dtype),
             shards=int(meta_shards.get(meta_name, 1)),
+            quant_type=str(meta_qt.get(meta_name, "nf4")),
         )
 
     fields = {}

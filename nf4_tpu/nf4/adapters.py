@@ -43,6 +43,7 @@ def quant_state_from_arrays(
     offset=0.0,
     code2=None,
     dtype=np.float16,
+    quant_type="nf4",
 ) -> QuantState:
     """Build a flat-layout QuantState from raw arrays.
 
@@ -68,6 +69,7 @@ def quant_state_from_arrays(
             blocksize=NF4_BLOCK,
             blocksize2=ABSMAX_BLOCK,
             code2=None if code2 is None else _to_numpy(code2).astype(np.float32),
+            quant_type=quant_type,
         )
 
     absmax_f = absmax.astype(np.float32).ravel()[:nblocks]
@@ -78,6 +80,7 @@ def quant_state_from_arrays(
         offset=np.float32(0.0),
         shape=shape,
         dtype=np.dtype(dtype),
+        quant_type=quant_type,
     )
 
 
@@ -94,6 +97,9 @@ def quant_state_from_module(module) -> QuantState:
     n = int(module.in_features)
 
     absmax = _to_numpy(qs.absmax)
+    # bnb Linear4bit carries its codebook choice on quant_state.quant_type
+    # ("fp4" is bnb's DEFAULT; the reference package silently assumed nf4).
+    quant_type = str(getattr(qs, "quant_type", "nf4") or "nf4").lower()
     state2 = getattr(qs, "state2", None)
     absmax32 = _to_numpy(state2.absmax) if state2 is not None else None
     code2 = _to_numpy(state2.code) if state2 is not None and hasattr(state2, "code") else None
@@ -107,4 +113,5 @@ def quant_state_from_module(module) -> QuantState:
         offset=offset,
         code2=code2,
         dtype=_np_out_dtype(getattr(qs, "dtype", np.float16)),
+        quant_type=quant_type,
     )

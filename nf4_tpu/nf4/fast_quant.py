@@ -32,14 +32,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lut import NF4_CODE, code_midpoints
+from .lut import NF4_CODE, code_midpoints, get_code
 from .reference import NF4_BLOCK, quantize_blockwise_u8
 
 __all__ = ["quantize_for_tpu_device"]
 
 
-@functools.partial(jax.jit, static_argnames=("m_pad", "n_chunk_pad", "shards"))
-def _pack_on_device(w, *, m_pad: int, n_chunk_pad: int, shards: int):
+@functools.partial(
+    jax.jit, static_argnames=("m_pad", "n_chunk_pad", "shards", "quant_type")
+)
+def _pack_on_device(
+    w, *, m_pad: int, n_chunk_pad: int, shards: int, quant_type: str = "nf4"
+):
     """Fused absmax + code assignment + pair-layout packing.
 
     Returns (packed uint8 [shards * n_chunk_pad/2, m_pad], absmax fp32
@@ -53,11 +57,28 @@ def _pack_on_device(w, *, m_pad: int, n_chunk_pad: int, shards: int):
     absmax = jnp.abs(x_blocks).max(axis=1)
     scale = jnp.where(absmax > 0, absmax, jnp.float32(1.0))
 
-    mids = code_midpoints(np.asarray(NF4_CODE, np.float32))  # host constants
     norm = x_blocks / scale[:, None]
-    codes = jnp.zeros(norm.shape, jnp.uint8)
-    for mid in mids:  # 15 fused compare-adds, one pass
-        codes = codes + (norm > np.float32(mid)).astype(jnp.uint8)
+    code_table = get_code(quant_type)
+    if quant_type == "nf4":
+        mids = code_midpoints(code_table)  # host constants
+        codes = jnp.zeros(norm.shape, jnp.uint8)
+        for mid in mids:  # 15 fused compare-adds, one pass
+            codes = codes + (norm > np.float32(mid)).astype(jnp.uint8)
+    else:
+        # Sign-magnitude table (fp4): nearest non-negative magnitude by the
+        # same strict-greater midpoint rule, remapped from sorted-magnitude
+        # position to the table's index order, plus the sign bit for x < 0
+        # (matching the oracle's quantize_to_code and bnb's dQuantizeFP4).
+        mags = code_table[:8]
+        order = np.argsort(mags, kind="stable").astype(np.uint8)
+        mids = code_midpoints(mags[order])  # 7 host constants
+        a = jnp.abs(norm)
+        pos = jnp.zeros(norm.shape, jnp.uint8)
+        for mid in mids:
+            pos = pos + (a > np.float32(mid)).astype(jnp.uint8)
+        codes = jnp.asarray(order)[pos] + jnp.where(
+            norm < 0, jnp.uint8(8), jnp.uint8(0)
+        )
     codes = codes.reshape(m, n)
 
     n_chunk = n // shards
@@ -75,7 +96,9 @@ def _pack_on_device(w, *, m_pad: int, n_chunk_pad: int, shards: int):
     return packed, absmax
 
 
-def quantize_for_tpu_device(w, dtype=jnp.bfloat16, shards: int = 1):
+def quantize_for_tpu_device(
+    w, dtype=jnp.bfloat16, shards: int = 1, quant_type: str = "nf4"
+):
     """Quantize a dense [m, n] weight to :class:`PackedNF4` on the device.
 
     Matches :func:`nf4.format.quantize_for_tpu` + the oracle semantics
@@ -99,7 +122,8 @@ def quantize_for_tpu_device(w, dtype=jnp.bfloat16, shards: int = 1):
     n_pad = n_chunk_pad * shards
 
     packed, absmax = _pack_on_device(
-        w, m_pad=m_pad, n_chunk_pad=n_chunk_pad, shards=shards
+        w, m_pad=m_pad, n_chunk_pad=n_chunk_pad, shards=shards,
+        quant_type=quant_type,
     )
 
     # Statistics on host with the oracle's own code (bit-exact scales); the
@@ -134,4 +158,5 @@ def quantize_for_tpu_device(w, dtype=jnp.bfloat16, shards: int = 1):
         padded_shape=(m_pad, n_pad),
         dtype=jnp.dtype(dtype),
         shards=shards,
+        quant_type=quant_type,
     )

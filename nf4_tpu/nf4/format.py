@@ -95,6 +95,9 @@ class PackedNF4:
     padded_shape: Tuple[int, int] = struct.field(pytree_node=False)  # (m_pad, n_pad)
     dtype: jnp.dtype = struct.field(pytree_node=False)  # output dtype
     shards: int = struct.field(pytree_node=False, default=1)
+    # 4-bit codebook the nibbles index: "nf4" or "fp4" (bnb's default).
+    # Static (trace-time) so each kernel compiles with its table baked in.
+    quant_type: str = struct.field(pytree_node=False, default="nf4")
 
     @property
     def out_features(self) -> int:
@@ -164,11 +167,13 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
         padded_shape=(m_pad, n_pad),
         dtype=jnp.dtype(dtype),
         shards=shards,
+        quant_type=state.quant_type,
     )
 
 
 def quantize_for_tpu(
-    w, dtype=jnp.bfloat16, shards: int = 1, method: str = "auto"
+    w, dtype=jnp.bfloat16, shards: int = 1, method: str = "auto",
+    quant_type: str = "nf4",
 ) -> PackedNF4:
     """Quantize a dense [m, n] weight straight into the TPU layout.
 
@@ -179,6 +184,9 @@ def quantize_for_tpu(
     and bit-identical scales, ~100x faster, with a documented 1-ulp
     code-boundary caveat); ``"auto"`` picks the device path for large
     tensors on an accelerator, else native when it is built, else oracle.
+
+    ``quant_type``: "nf4" (default) or "fp4" — every method and every
+    downstream kernel honors the choice.
     """
     if method not in ("auto", "oracle", "device", "native"):
         raise ValueError(
@@ -199,13 +207,17 @@ def quantize_for_tpu(
     if method == "device":
         from .fast_quant import quantize_for_tpu_device
 
-        return quantize_for_tpu_device(w, dtype=dtype, shards=shards)
+        return quantize_for_tpu_device(
+            w, dtype=dtype, shards=shards, quant_type=quant_type
+        )
     if method == "native":
         from .native import quantize_for_tpu_native
 
-        return quantize_for_tpu_native(w, dtype=dtype, shards=shards)
+        return quantize_for_tpu_native(
+            w, dtype=dtype, shards=shards, quant_type=quant_type
+        )
     w = np.asarray(w, dtype=np.float32)
-    state = quantize_nf4(w, dtype=np.float16)
+    state = quantize_nf4(w, dtype=np.float16, quant_type=quant_type)
     return pack_for_tpu(state, dtype=dtype, shards=shards)
 
 
@@ -233,6 +245,7 @@ def chunk_views(pw: PackedNF4) -> list:
                 padded_shape=(m_pad, n_chunk_pad),
                 dtype=pw.dtype,
                 shards=1,
+                quant_type=pw.quant_type,
             )
         )
     return views
@@ -356,4 +369,5 @@ def to_quant_state(pw: PackedNF4, np_dtype=np.float16) -> QuantState:
         dtype=np.dtype(np_dtype),
         blocksize=NF4_BLOCK,
         blocksize2=ABSMAX_BLOCK,
+        quant_type=pw.quant_type,
     )

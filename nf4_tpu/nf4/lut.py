@@ -20,7 +20,9 @@ import numpy as np
 
 __all__ = [
     "NF4_CODE",
+    "FP4_CODE",
     "nf4_code",
+    "get_code",
     "dynamic_code",
     "code_midpoints",
 ]
@@ -52,6 +54,49 @@ NF4_CODE = np.array(
 def nf4_code() -> np.ndarray:
     """Return the 16-entry NF4 codebook as fp32."""
     return NF4_CODE.copy()
+
+
+# The fixed FP4 codebook (bitsandbytes ``quant_type="fp4"`` — ITS DEFAULT):
+# a 4-bit e2m1 float, sign in bit 3.  The values are the EXACT decimal
+# literals of bnb's dDequantizeFP4Tree (note 0.00520833f is ~7 ulps below
+# fp32(1/192) — bnb's literal, kept verbatim for bit parity).  Index 0..7
+# are the non-negative values, 8..15 their negations.  Unlike NF4 this
+# table is NOT monotone in the index — nearest-code quantization and table
+# lookups are index-order-agnostic, but anything assuming sorted codes
+# must go through code_midpoints' argsort.
+FP4_CODE = np.array(
+    [
+        0.0,
+        0.00520833,  # e2m1 subnormal (0b0001); bnb's literal, not 1/192
+        0.66666667,
+        1.0,
+        0.33333333,
+        0.5,
+        0.16666667,
+        0.25,
+        -0.0,
+        -0.00520833,
+        -0.66666667,
+        -1.0,
+        -0.33333333,
+        -0.5,
+        -0.16666667,
+        -0.25,
+    ],
+    dtype=np.float32,
+)
+
+_CODES = {"nf4": NF4_CODE, "fp4": FP4_CODE}
+
+
+def get_code(quant_type: str) -> np.ndarray:
+    """The 16-entry 4-bit codebook for ``quant_type`` ("nf4" | "fp4")."""
+    try:
+        return _CODES[quant_type]
+    except KeyError:
+        raise ValueError(
+            f"quant_type={quant_type!r}; expected one of {sorted(_CODES)}"
+        ) from None
 
 
 @functools.lru_cache(maxsize=None)

@@ -189,7 +189,31 @@ def pack_kmajor(
     return out
 
 
-def quantize_nf4_native(w: np.ndarray, dtype=None):
+def _native_codes(w_flat: np.ndarray, quant_type: str):
+    """4-bit code assignment via the C++ block walker, any codebook.
+
+    NF4 (monotone table): direct — the C tree computes #{mids < x}.
+    FP4 (sign-magnitude): run the tree on |x| against the 7 sorted-
+    magnitude midpoints, remap sorted position -> table index, add the
+    sign bit for x < 0 — byte-identical to the oracle's quantize_to_code.
+    The per-block absmax is the same either way (computed from |x|).
+    """
+    from .lut import code_midpoints, get_code
+    from .reference import NF4_BLOCK
+
+    code = get_code(quant_type)
+    if quant_type == "nf4":
+        return quantize_codes(w_flat, NF4_BLOCK, code_midpoints(code))
+    mags = code[:8]
+    order = np.argsort(mags, kind="stable").astype(np.uint8)
+    pos, absmax = quantize_codes(
+        np.abs(w_flat), NF4_BLOCK, code_midpoints(mags[order])
+    )
+    codes = order[pos] + np.where(w_flat < 0, 8, 0).astype(np.uint8)
+    return codes, absmax
+
+
+def quantize_nf4_native(w: np.ndarray, dtype=None, quant_type: str = "nf4"):
     """Byte-identical :func:`nf4.reference.quantize_nf4`, C++ hot loops."""
     from .lut import NF4_CODE, code_midpoints
     from .reference import (
@@ -205,9 +229,7 @@ def quantize_nf4_native(w: np.ndarray, dtype=None):
     shape = w.shape
     w_flat = np.ascontiguousarray(w, dtype=np.float32).ravel()
 
-    codes, absmax = quantize_codes(
-        w_flat, NF4_BLOCK, code_midpoints(NF4_CODE)
-    )
+    codes, absmax = _native_codes(w_flat, quant_type)
     packed = pack_flat(codes)
     # Statistics via the oracle's own helpers (small stream, bit-exact).
     offset = np.float32(absmax.mean(dtype=np.float64))
@@ -221,10 +243,13 @@ def quantize_nf4_native(w: np.ndarray, dtype=None):
         dtype=np.dtype(dtype),
         blocksize=NF4_BLOCK,
         blocksize2=ABSMAX_BLOCK,
+        quant_type=quant_type,
     )
 
 
-def quantize_for_tpu_native(w: np.ndarray, dtype=None, shards: int = 1):
+def quantize_for_tpu_native(
+    w: np.ndarray, dtype=None, shards: int = 1, quant_type: str = "nf4"
+):
     """Dense [m, n] -> PackedNF4, byte-identical to the oracle path
     (``quantize_for_tpu(method="oracle")``) with C++ hot loops."""
     import jax.numpy as jnp
@@ -246,9 +271,7 @@ def quantize_for_tpu_native(w: np.ndarray, dtype=None, shards: int = 1):
     assert n % NF4_BLOCK == 0, f"in_features must be a multiple of 64, got {n}"
     assert n % (shards * NF4_BLOCK) == 0
 
-    codes, absmax = quantize_codes(
-        w.ravel(), NF4_BLOCK, code_midpoints(NF4_CODE)
-    )
+    codes, absmax = _native_codes(w.ravel(), quant_type)
 
     offset = np.float32(absmax.mean(dtype=np.float64))
     absmax_u8, absmax32 = quantize_blockwise_u8(absmax - offset, ABSMAX_BLOCK)
@@ -284,4 +307,5 @@ def quantize_for_tpu_native(w: np.ndarray, dtype=None, shards: int = 1):
         padded_shape=(m_pad, n_chunk_pad * shards),
         dtype=jnp.dtype(dtype),
         shards=shards,
+        quant_type=quant_type,
     )

@@ -40,7 +40,7 @@ from typing import Tuple
 
 import numpy as np
 
-from .lut import NF4_CODE, code_midpoints, dynamic_code
+from .lut import NF4_CODE, code_midpoints, dynamic_code, get_code
 
 __all__ = [
     "QuantState",
@@ -74,6 +74,10 @@ class QuantState:
     # Optional override of the dynamic absmax codebook (e.g. carried over
     # verbatim from an imported bitsandbytes quant_state.state2.code).
     code2: np.ndarray | None = None
+    # 4-bit codebook: "nf4" (normal-float) or "fp4" (e2m1 float — the
+    # bitsandbytes Linear4bit DEFAULT).  Same storage format either way;
+    # only the 16-entry value table differs.
+    quant_type: str = "nf4"
 
     @property
     def numel(self) -> int:
@@ -90,9 +94,27 @@ def quantize_to_code(x: np.ndarray, code: np.ndarray) -> np.ndarray:
     tests/test_reference.py, and a vectorized binary-search reimplementation
     measured SLOWER than numpy's C loop, so keep searchsorted).  For bulk
     quantization use the device path (``nf4.fast_quant``).
+
+    Non-monotone SIGN-MAGNITUDE tables (fp4: ``code[8+i] == -code[i]``,
+    ``code[:8] >= 0``) quantize as bnb's dQuantizeFP4 does: nearest
+    non-negative magnitude by the same strict-greater midpoint rule, plus
+    the sign bit when ``x < 0`` (so ``-0.0`` and ``0.0`` both take the
+    positive branch, exactly like the CUDA ``x < 0.0f`` test).
     """
-    mids = code_midpoints(code)
-    idx = np.searchsorted(mids, np.asarray(x, dtype=np.float32), side="left")
+    x = np.asarray(x, dtype=np.float32)
+    code = np.asarray(code, dtype=np.float32)
+    if code.shape[0] != 16 or np.all(np.diff(code) >= 0):
+        mids = code_midpoints(code)
+        idx = np.searchsorted(mids, x, side="left")
+        return idx.astype(np.uint8)
+    mags = code[:8]
+    assert np.array_equal(-mags, code[8:]) and (mags >= 0).all(), (
+        "non-monotone codebooks must be sign-magnitude (fp4 layout)"
+    )
+    order = np.argsort(mags, kind="stable").astype(np.uint8)
+    mids = code_midpoints(mags[order])
+    pos = np.searchsorted(mids, np.abs(x), side="left")
+    idx = order[pos] + np.where(x < 0, 8, 0).astype(np.uint8)
     return idx.astype(np.uint8)
 
 
@@ -146,9 +168,15 @@ def unpack_nibbles(packed: np.ndarray, numel: int) -> np.ndarray:
 
 
 def quantize_nf4(
-    w: np.ndarray, dtype: np.dtype | None = None, compress_statistics: bool = True
+    w: np.ndarray,
+    dtype: np.dtype | None = None,
+    compress_statistics: bool = True,
+    quant_type: str = "nf4",
 ) -> QuantState:
-    """Quantize a tensor to flat-layout NF4 with double-quantized statistics."""
+    """Quantize a tensor to flat-layout 4-bit with double-quantized
+    statistics.  ``quant_type``: "nf4" (default) or "fp4" — the bnb
+    ``quantize_4bit(..., quant_type=...)`` switch; storage is identical,
+    only the 16-entry codebook differs."""
     w = np.asarray(w)
     if dtype is None:
         dtype = w.dtype if w.dtype in (np.float16,) else np.dtype(np.float32)
@@ -162,7 +190,7 @@ def quantize_nf4(
     wp = np.concatenate([w_flat, np.zeros(pad, dtype=np.float32)]) if pad else w_flat
     scale = np.where(absmax > 0, absmax, np.float32(1.0))
     normalized = (wp.reshape(nblocks, NF4_BLOCK) / scale[:, None]).astype(np.float32)
-    idx = quantize_to_code(normalized, NF4_CODE).ravel()[:n]
+    idx = quantize_to_code(normalized, get_code(quant_type)).ravel()[:n]
     packed = pack_nibbles(idx)
 
     if compress_statistics:
@@ -186,6 +214,7 @@ def quantize_nf4(
         dtype=np.dtype(dtype),
         blocksize=NF4_BLOCK,
         blocksize2=ABSMAX_BLOCK,
+        quant_type=quant_type,
     )
 
 
@@ -203,13 +232,14 @@ def dequantize_absmax(state: QuantState) -> np.ndarray:
 def dequantize_nf4(state: QuantState, dtype: np.dtype | None = None) -> np.ndarray:
     """Dequantize to the logical shape; fp32 math, cast at the end.
 
-    Matches bitsandbytes semantics exactly: ``NF4_CODE[nibble] * absmax_blk``
-    computed in fp32, then cast once to the output dtype.
+    Matches bitsandbytes semantics exactly: ``CODE[nibble] * absmax_blk``
+    computed in fp32, then cast once to the output dtype (CODE is the
+    state's quant_type codebook — NF4 or FP4).
     """
     out_dtype = np.dtype(dtype if dtype is not None else state.dtype)
     n = state.numel
     idx = unpack_nibbles(state.packed, n)
     absmax = dequantize_absmax(state)
     blk = np.arange(n) // state.blocksize
-    vals = (NF4_CODE[idx] * absmax[blk]).astype(np.float32)
+    vals = (get_code(state.quant_type)[idx] * absmax[blk]).astype(np.float32)
     return vals.astype(out_dtype).reshape(state.shape)

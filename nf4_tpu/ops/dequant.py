@@ -62,7 +62,7 @@ def _expand_scales_sublane(s: jnp.ndarray, block: int, rows: int) -> jnp.ndarray
     return expanded.reshape(rows, cols)
 
 
-def _make_dequant_kernel(lut_mode: str):
+def _make_dequant_kernel(lut_mode: str, code):
     def kernel(p_ref, s_ref, lut_ref, o_ref):
         b = p_ref[:].astype(jnp.int32)
         rows = b.shape[0]
@@ -70,8 +70,8 @@ def _make_dequant_kernel(lut_mode: str):
             v_lo = nf4_lookup_gather(b & 0xF, lut_ref[:])
             v_hi = nf4_lookup_gather((b >> 4) & 0xF, lut_ref[:])
         else:
-            v_lo = nf4_lookup(b & 0xF)
-            v_hi = nf4_lookup((b >> 4) & 0xF)
+            v_lo = nf4_lookup(b & 0xF, code)
+            v_hi = nf4_lookup((b >> 4) & 0xF, code)
         sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, rows)
         # Interleave the planes on sublanes: K row 2j+h <- plane h row j.
         pair = jnp.stack([v_lo * sexp, v_hi * sexp], axis=1)
@@ -80,8 +80,10 @@ def _make_dequant_kernel(lut_mode: str):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dtype", "interpret", "lut_mode"))
-def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "interpret", "lut_mode", "quant_type")
+)
+def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode, quant_type="nf4"):
     # Mosaic has no f16 storage type; emit fp32 from the kernel and let XLA
     # cast outside (bit-identical: fp32->fp16 is round-to-nearest-even in
     # both).  bf16 is TPU-native and written directly.
@@ -94,8 +96,10 @@ def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
     bo = _pick_tile(m_pad, (256, 128))
     grid = (khalf // bks, m_pad // bo)
 
+    from ..nf4.lut import get_code
+
     out = pl.pallas_call(
-        _make_dequant_kernel(lut_mode),
+        _make_dequant_kernel(lut_mode, tuple(float(v) for v in get_code(quant_type))),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bks, bo), lambda j, o: (j, o), memory_space=pltpu.VMEM),
@@ -109,7 +113,7 @@ def _dequant_t_pallas(packed, scales, dtype, interpret, lut_mode):
         ),
         out_shape=jax.ShapeDtypeStruct((2 * khalf, m_pad), kernel_dtype),
         interpret=interpret,
-    )(packed, scales, jnp.asarray(nf4_table_row()))
+    )(packed, scales, jnp.asarray(nf4_table_row(quant_type)))
     return out.astype(dtype) if kernel_dtype != dtype else out
 
 
@@ -139,14 +143,14 @@ def _make_bytetable_dequant_kernel(nchunks: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tiles", "interpret"))
-def _dequant_t_pallas_fast(packed, scales, tiles, interpret):
+@functools.partial(jax.jit, static_argnames=("tiles", "interpret", "quant_type"))
+def _dequant_t_pallas_fast(packed, scales, tiles, interpret, quant_type="nf4"):
     from .matmul import _byte_word_tables
 
     bks, bo = tiles
     khalf, m_pad = packed.shape
     grid = (khalf // bks, m_pad // bo)
-    tlo, thi = _byte_word_tables()
+    tlo, thi = _byte_word_tables(quant_type)
     tlo = jnp.broadcast_to(jnp.asarray(tlo), (bks, 128))
     thi = jnp.broadcast_to(jnp.asarray(thi), (bks, 128))
 
@@ -188,7 +192,7 @@ def dequantize_t_fast(pw: PackedNF4) -> jax.Array:
     if env.backend() != "pallas" or env.use_interpret():
         # The bitcast row-pair expansion is a Mosaic hardware semantic;
         # interpret/jnp modes route through the exact path (cast to bf16).
-        out = _dequant_t_jnp(pw.packed, pw.scales, jnp.bfloat16)
+        out = _dequant_t_jnp(pw.packed, pw.scales, jnp.bfloat16, pw.quant_type)
     else:
         khalf, m_pad = pw.packed.shape
         # Swept on v5e (8192^2, interleaved best-of-rounds): (2048, 512) is
@@ -197,7 +201,7 @@ def dequantize_t_fast(pw: PackedNF4) -> jax.Array:
         bks = _pick_tile(khalf, (2048, 1024, 512))
         bo = _pick_tile(m_pad, (512, 256, 128))
         out = _dequant_t_pallas_fast(
-            pw.packed, pw.scales, (bks, bo), env.use_interpret()
+            pw.packed, pw.scales, (bks, bo), env.use_interpret(), pw.quant_type
         )
     m, n = pw.shape
     m_pad, n_pad = pw.padded_shape
@@ -212,12 +216,14 @@ def dequantize_fast(pw: PackedNF4) -> jax.Array:
     return dequantize_t_fast(pw).T
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _dequant_t_jnp(packed, scales, dtype):
+@functools.partial(jax.jit, static_argnames=("dtype", "quant_type"))
+def _dequant_t_jnp(packed, scales, dtype, quant_type="nf4"):
+    from ..nf4.lut import get_code
+
     b = packed.astype(jnp.int32)
     khalf, m_pad = b.shape
     idx_t = jnp.stack([b & 0xF, (b >> 4) & 0xF], axis=1).reshape(2 * khalf, m_pad)
-    vals = nf4_lookup(idx_t)
+    vals = nf4_lookup(idx_t, tuple(float(v) for v in get_code(quant_type)))
     sexp = _expand_scales_sublane(scales, NF4_BLOCK, vals.shape[0])
     return (vals * sexp).astype(dtype)
 
@@ -243,10 +249,11 @@ def dequantize_t(pw: PackedNF4, dtype=None) -> jax.Array:
     )
     if use_pallas:
         out = _dequant_t_pallas(
-            pw.packed, pw.scales, dtype, env.use_interpret(), env.lut_mode()
+            pw.packed, pw.scales, dtype, env.use_interpret(), env.lut_mode(),
+            pw.quant_type,
         )
     else:
-        out = _dequant_t_jnp(pw.packed, pw.scales, dtype)
+        out = _dequant_t_jnp(pw.packed, pw.scales, dtype, pw.quant_type)
     m, n = pw.shape
     m_pad, n_pad = pw.padded_shape
     if (m, n) != (m_pad, n_pad):

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..nf4.format import PackedNF4
-from ..nf4.lut import NF4_CODE
+from ..nf4.lut import get_code
 from ..nf4.reference import NF4_BLOCK
 from ..utils import env
 from .dequant import _pick_tile
@@ -39,10 +39,11 @@ __all__ = ["PackedInt8", "recode_int8_weight", "int8_matmul"]
 
 @struct.dataclass
 class PackedInt8:
-    """K-major int8 recode of an NF4 weight (a JAX pytree).
+    """K-major int8 recode of a 4-bit weight (a JAX pytree).
 
-    ``values[k, r]`` = round(127 * NF4[code of W^T[k, r]]); ``scales`` has
-    the NF4 layout divided by 127, so ``W^T = values * scales_expanded``.
+    ``values[k, r]`` = round(127 * CODE[code of W^T[k, r]]) where CODE is
+    the source weight's codebook (NF4 or FP4); ``scales`` has the 4-bit
+    layout divided by 127, so ``W^T = values * scales_expanded``.
     """
 
     values: jax.Array  # int8 [n_pad, m_pad]
@@ -67,11 +68,11 @@ class PackedInt8:
         return self.values.size + self.scales.size * 4
 
 
-@jax.jit
-def _recode_kernelless(packed, scales):
+@functools.partial(jax.jit, static_argnames=("quant_type",))
+def _recode_kernelless(packed, scales, quant_type="nf4"):
     """XLA-side conversion (one-time, at serving setup)."""
     lut8 = jnp.asarray(
-        np.round(127.0 * np.asarray(NF4_CODE, np.float64)).astype(np.int8)
+        np.round(127.0 * np.asarray(get_code(quant_type), np.float64)).astype(np.int8)
     )
     b = packed.astype(jnp.int32)
     *lead, khalf, m_pad = b.shape
@@ -95,7 +96,8 @@ def recode_int8_weight(pw: PackedNF4) -> PackedInt8:
         # Stacked layers: convert one layer at a time — the int32 code
         # intermediates of a whole stacked 8B tensor would blow HBM.
         values, scales = jax.lax.map(
-            lambda ps: _recode_kernelless(ps[0], ps[1]), (packed, sc)
+            lambda ps: _recode_kernelless(ps[0], ps[1], pw.quant_type),
+            (packed, sc),
         )
     elif packed.size > 32 * 2**20:
         # Large single weight (e.g. a 128k-vocab lm_head): chunk the byte
@@ -105,11 +107,13 @@ def recode_int8_weight(pw: PackedNF4) -> PackedInt8:
         chunks = next(c for c in (16, 8, 4, 2, 1) if (kh // c) % 32 == 0 and kh % c == 0)
         p3 = packed.reshape(chunks, kh // chunks, -1)
         s3 = sc.reshape(chunks, sc.shape[0] // chunks, -1)
-        v3, sc3 = jax.lax.map(lambda ps: _recode_kernelless(ps[0], ps[1]), (p3, s3))
+        v3, sc3 = jax.lax.map(
+            lambda ps: _recode_kernelless(ps[0], ps[1], pw.quant_type), (p3, s3)
+        )
         values = v3.reshape(2 * kh, -1)
         scales = sc3.reshape(sc.shape)
     else:
-        values, scales = _recode_kernelless(packed, sc)
+        values, scales = _recode_kernelless(packed, sc, pw.quant_type)
     return PackedInt8(
         values=values,
         scales=scales,

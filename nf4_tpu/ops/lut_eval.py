@@ -14,21 +14,18 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..nf4.lut import NF4_CODE
+from ..nf4.lut import NF4_CODE, get_code
 
 __all__ = ["nf4_lookup", "nf4_lookup_gather", "nf4_table_row"]
 
-_C = [float(v) for v in NF4_CODE]
-
-
-def nf4_table_row() -> np.ndarray:
-    """The NF4 codebook padded into a (1, 128) fp32 row.
+def nf4_table_row(quant_type: str = "nf4") -> np.ndarray:
+    """The 4-bit codebook (NF4 or FP4) padded into a (1, 128) fp32 row.
 
     Layout for the TPU's per-vreg dynamic-gather unit: entries 0..15 hold the
     codebook, the rest is zero (indices are always < 16).
     """
     row = np.zeros((1, 128), dtype=np.float32)
-    row[0, :16] = NF4_CODE
+    row[0, :16] = get_code(quant_type)
     return row
 
 
@@ -52,11 +49,14 @@ def nf4_lookup_gather(nibble: jnp.ndarray, lut_row: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(chunks, axis=1)
 
 
-def nf4_lookup(nibble: jnp.ndarray) -> jnp.ndarray:
-    """Map integer nibbles (0..15, any int dtype) to fp32 NF4 values.
+def nf4_lookup(nibble: jnp.ndarray, code=None) -> jnp.ndarray:
+    """Map integer nibbles (0..15, any int dtype) to fp32 codebook values.
 
-    Works inside Pallas kernels and in plain jnp code.
+    ``code``: 16 Python floats (default: the NF4 table).  The operands are
+    trace-time scalar constants, so the select tree works inside Pallas
+    kernels and in plain jnp code for any 16-entry codebook.
     """
+    _C = [float(v) for v in (NF4_CODE if code is None else code)]
     x = nibble.astype(jnp.int32)
     b0 = (x & 1) != 0
     b1 = (x & 2) != 0

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..nf4.format import PackedNF4, pad_to
-from ..nf4.lut import NF4_CODE
+from ..nf4.lut import NF4_CODE, get_code
 from ..nf4.reference import NF4_BLOCK
 from ..utils import env
 from .dequant import PAIR_BLOCK, _dequant_t_jnp, _expand_scales_sublane, _pick_tile
@@ -50,17 +50,22 @@ __all__ = ["nf4_matmul"]
 
 
 @functools.lru_cache(maxsize=None)
-def _byte_word_tables():
+def _byte_word_tables(quant_type: str = "nf4"):
     """The 256-entry byte -> packed-bf16-pair word table, split into two
     (1, 128) i32 rows for the per-vreg gather unit (indices must be < 128).
 
     T[byte] = bits(LUT[hi_nibble]) << 16 | bits(LUT[lo_nibble]); the bitcast
     of the gathered word yields the low half at even K rows and the high
-    half at odd K rows, matching the pair layout.
+    half at odd K rows, matching the pair layout.  ``quant_type`` picks the
+    codebook (NF4 or FP4) the nibbles index.
     """
     import ml_dtypes
 
-    bits = np.asarray(NF4_CODE, np.float32).astype(ml_dtypes.bfloat16).view(np.uint16)
+    bits = (
+        np.asarray(get_code(quant_type), np.float32)
+        .astype(ml_dtypes.bfloat16)
+        .view(np.uint16)
+    )
     t = np.zeros(256, np.uint32)
     for byte in range(256):
         t[byte] = (np.uint32(bits[byte >> 4]) << 16) | np.uint32(bits[byte & 0xF])
@@ -103,7 +108,7 @@ def _make_bytetable_kernel(nchunks: int):
     return kernel
 
 
-def _make_exact_kernel():
+def _make_exact_kernel(code=None):
     def kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, acc_ref):
         ik = pl.program_id(2)
         nk = pl.num_programs(2)
@@ -114,8 +119,8 @@ def _make_exact_kernel():
 
         b = p_ref[:].astype(jnp.int32)
         rows = b.shape[0]
-        v_lo = nf4_lookup(b & 0xF)  # even K rows, fp32
-        v_hi = nf4_lookup((b >> 4) & 0xF)  # odd K rows, fp32
+        v_lo = nf4_lookup(b & 0xF, code)  # even K rows, fp32
+        v_hi = nf4_lookup((b >> 4) & 0xF, code)  # odd K rows, fp32
         sexp = _expand_scales_sublane(s_ref[:], PAIR_BLOCK, rows)
         acc_ref[:] += jnp.dot(
             xe_ref[:],
@@ -137,8 +142,12 @@ def _make_exact_kernel():
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "tiles", "interpret"))
-def _matmul_pallas_bf16(x_pad, packed, scales, out_dtype, tiles, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tiles", "interpret", "quant_type")
+)
+def _matmul_pallas_bf16(
+    x_pad, packed, scales, out_dtype, tiles, interpret, quant_type="nf4"
+):
     """Byte-table fast path: bf16 activations; fp32 accumulation stored as
     bf16 or fp32 (fp16 rides fp32 — Mosaic has no f16 type)."""
     bm, bks, bo = tiles
@@ -147,7 +156,7 @@ def _matmul_pallas_bf16(x_pad, packed, scales, out_dtype, tiles, interpret):
     nb, no, nk = b_pad // bm, m_pad // bo, khalf // bks
     kernel_out = jnp.float32 if out_dtype == jnp.float16 else out_dtype
 
-    tlo, thi = _byte_word_tables()
+    tlo, thi = _byte_word_tables(quant_type)
     tlo = jnp.broadcast_to(jnp.asarray(tlo), (bks, 128))
     thi = jnp.broadcast_to(jnp.asarray(thi), (bks, 128))
 
@@ -171,8 +180,12 @@ def _matmul_pallas_bf16(x_pad, packed, scales, out_dtype, tiles, interpret):
     return out.astype(out_dtype) if kernel_out != out_dtype else out
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "tiles", "interpret"))
-def _matmul_pallas_exact(x_pad, packed, scales, out_dtype, tiles, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "tiles", "interpret", "quant_type")
+)
+def _matmul_pallas_exact(
+    x_pad, packed, scales, out_dtype, tiles, interpret, quant_type="nf4"
+):
     """Exact path: fp32 dequant math, fp32 accumulation (f16 rides fp32 —
     Mosaic has no f16 type)."""
     bm, bks, bo = tiles
@@ -188,7 +201,7 @@ def _matmul_pallas_exact(x_pad, packed, scales, out_dtype, tiles, interpret):
     x_odd = x_pad[:, 1::2]
 
     out = pl.pallas_call(
-        _make_exact_kernel(),
+        _make_exact_kernel(tuple(float(v) for v in get_code(quant_type))),
         grid=(nb, no, nk),
         in_specs=[
             pl.BlockSpec((bm, bks), lambda b, o, k: (b, k), memory_space=pltpu.VMEM),
@@ -225,9 +238,9 @@ def _pick_bm(b_pad: int) -> int:
     return best[1]
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _matmul_jnp(x_pad, packed, scales, out_dtype):
-    wt = _dequant_t_jnp(packed, scales, jnp.float32)
+@functools.partial(jax.jit, static_argnames=("out_dtype", "quant_type"))
+def _matmul_jnp(x_pad, packed, scales, out_dtype, quant_type="nf4"):
+    wt = _dequant_t_jnp(packed, scales, jnp.float32, quant_type)
     return jnp.dot(
         x_pad.astype(jnp.float32),
         wt,
@@ -353,16 +366,18 @@ def _nf4_matmul_impl(x: jax.Array, pw: PackedNF4, out_dtype) -> jax.Array:
             x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
         if use_fast:
             y = _matmul_pallas_bf16(
-                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
+                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret,
+                pw.quant_type,
             )
         else:
             y = _matmul_pallas_exact(
-                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret
+                x2, pw.packed, pw.scales, out_dtype, (bm, bks, bo), interpret,
+                pw.quant_type,
             )
     else:
         if b_pad != B or n_pad != n:
             x2 = jnp.pad(x2, ((0, b_pad - B), (0, n_pad - n)))
-        y = _matmul_jnp(x2, pw.packed, pw.scales, out_dtype)
+        y = _matmul_jnp(x2, pw.packed, pw.scales, out_dtype, pw.quant_type)
 
     y = y[:B, :m]
     return y.reshape(*batch, m)

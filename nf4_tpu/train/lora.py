@@ -214,8 +214,14 @@ def merge_lora(
             merged = w + delta
             if quantize:
                 shards = pw_l.shards if isinstance(pw_l, PackedNF4) else 1
+                qt = (
+                    pw_l.quant_type
+                    if isinstance(pw_l, PackedNF4)
+                    else cfg.quant_type
+                )
                 new[name] = quantize_for_tpu(
-                    merged, dtype=cfg.dtype, shards=shards, method=method
+                    merged, dtype=cfg.dtype, shards=shards, method=method,
+                    quant_type=qt,
                 )
             else:
                 new[name] = jnp.asarray(merged, dtype=cfg.dtype)
