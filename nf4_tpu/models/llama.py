@@ -454,19 +454,36 @@ def _reduced_matmul(x, w: Weight, reduce_fn, out_dtype=None):
     return reduce_fn(_matmul(x, w, out_dtype=out_dtype))
 
 
-def _lora_delta(x: jax.Array, ab) -> Optional[jax.Array]:
+def _lora_delta(x: jax.Array, ab, adapter_ids=None) -> Optional[jax.Array]:
     """Low-rank update ``(x @ A^T) @ B^T * scaling`` for one projection.
 
     ``ab`` is a ``train.lora.LoraAB`` (duck-typed here to keep the model
     free of a train-package import) or None.  Computed in ``x``'s dtype
     (bf16 in practice — the QLoRA convention); the rank-r intermediate is
     tiny so the cost is two skinny matmuls per adapted projection.
+
+    BANKED adapters (multi-LoRA serving): ``ab.a [A, r, in]`` /
+    ``ab.b [A, out, r]`` with ``adapter_ids [B]`` int32 selecting one
+    adapter per batch row (-1 = none -> delta 0).  Row selection is a
+    one-hot mask applied to the tiny rank-r intermediate between two
+    full-bank einsums — no [B, out, r] gathers ever materialize, the
+    bank is read once, and the cost is A x the single-adapter deltas
+    (negligible next to the base matmuls for small banks).
     """
     if ab is None:
         return None
-    a = ab.a.astype(x.dtype)  # [r, in]
-    b = ab.b.astype(x.dtype)  # [out, r]
-    return jnp.dot(jnp.dot(x, a.T), b.T) * ab.scaling
+    a = ab.a.astype(x.dtype)
+    b = ab.b.astype(x.dtype)
+    if a.ndim == 2:  # single adapter: a [r, in], b [out, r]
+        return jnp.dot(jnp.dot(x, a.T), b.T) * ab.scaling
+    assert adapter_ids is not None, "banked LoRA needs adapter_ids [B]"
+    n_adapters = a.shape[0]
+    sel = (
+        adapter_ids[:, None] == jnp.arange(n_adapters, dtype=adapter_ids.dtype)
+    ).astype(x.dtype)  # [B, A]
+    t = jnp.einsum("bsh,arh->absr", x, a)
+    t = t * sel.T[:, :, None, None]
+    return jnp.einsum("absr,aor->bso", t, b) * ab.scaling
 
 
 def _add_delta(y: jax.Array, delta: Optional[jax.Array]) -> jax.Array:
@@ -495,6 +512,7 @@ def _layer_forward(
     ll=None,
     train: bool = False,
     segment_ids=None,
+    adapter_ids=None,  # [B] int32 — banked multi-LoRA row selection
 ):
     """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
@@ -514,7 +532,7 @@ def _layer_forward(
     attn_in = rms_norm(x, lp.input_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     qkv = _matmul(attn_in, lp.wqkv)  # ONE kernel for q+k+v
     if ll is not None:
-        qkv = _add_delta(qkv, _lora_delta(attn_in, ll.qkv))
+        qkv = _add_delta(qkv, _lora_delta(attn_in, ll.qkv, adapter_ids))
     if lp.qkv_bias is not None:
         qkv = qkv + lp.qkv_bias.astype(qkv.dtype)
     q, k, v = split_fused(
@@ -593,7 +611,7 @@ def _layer_forward(
     if ll is not None:
         o_proj = _add_delta(
             _matmul(attn, lp.wo, out_dtype=jnp.float32),
-            _lora_delta(attn, ll.o),
+            _lora_delta(attn, ll.o, adapter_ids),
         )
         x = x + reduce_fn(o_proj).astype(x.dtype)
     else:
@@ -604,7 +622,7 @@ def _layer_forward(
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
     if ll is not None:
-        gateup = _add_delta(gateup, _lora_delta(mlp_in, ll.gateup))
+        gateup = _add_delta(gateup, _lora_delta(mlp_in, ll.gateup, adapter_ids))
     gate, up = split_fused(
         gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
     )
@@ -622,7 +640,7 @@ def _layer_forward(
     if ll is not None:
         down = _add_delta(
             _matmul(h, lp.w_down, out_dtype=jnp.float32),
-            _lora_delta(h, ll.down),
+            _lora_delta(h, ll.down, adapter_ids),
         )
         x = x + reduce_fn(down).astype(x.dtype)
     else:
@@ -646,6 +664,7 @@ def forward(
     reduce_fn=None,
     last_only: bool = False,
     lora=None,
+    adapter_ids=None,  # [B] int32 — banked multi-LoRA (see _lora_delta)
 ) -> Tuple[jax.Array, KVCache]:
     """General step: embeds tokens, runs all layers via scan, returns logits.
 
@@ -686,7 +705,7 @@ def forward(
         lp, layer_cache, ll = layer
         x, layer_cache = _layer_forward(
             cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn,
-            ll=ll,
+            ll=ll, adapter_ids=adapter_ids,
         )
         return x, layer_cache
 
@@ -809,13 +828,21 @@ def prefill_chunked(params, cfg, tokens, cache=None, chunk: int = 2048):
     return logits, cache
 
 
-def decode_step(params, cfg, token: jax.Array, cache: KVCache, positions: jax.Array):
+def decode_step(
+    params, cfg, token: jax.Array, cache: KVCache, positions: jax.Array,
+    lora=None, adapter_ids=None,
+):
     """One token per sequence. token [B], positions [B] (index being written).
 
-    Returns (logits [B, V], cache).
+    ``lora``/``adapter_ids``: optional multi-LoRA bank + per-slot adapter
+    selection (serve.engine multi-adapter serving).  Returns
+    (logits [B, V], cache).
     """
     tokens = token[:, None]
     pos2 = positions[:, None]
     seq_lens = positions + 1
-    logits, cache = forward(params, cfg, tokens, cache, pos2, seq_lens)
+    logits, cache = forward(
+        params, cfg, tokens, cache, pos2, seq_lens,
+        lora=lora, adapter_ids=adapter_ids,
+    )
     return logits[:, 0, :], cache

@@ -64,6 +64,9 @@ class _Pending:
     error: Optional[str] = None
     # Streaming: tokens are pushed here as emitted; None terminates.
     stream_q: Optional[queue.Queue] = None
+    # Multi-LoRA: bank index of the adapter serving this request (None =
+    # the bare base model).  Set from the request's "model" field.
+    adapter: Optional[int] = None
 
 
 def _params_from_body(
@@ -107,11 +110,24 @@ class CompletionServer:
         tokenizer=None,
         model_name: str = "nf4-tpu",
         max_wave: int = 64,
+        adapters: Optional[Dict[str, int]] = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.max_wave = max_wave
+        # Multi-LoRA model multiplexing: map OpenAI "model" names to bank
+        # indices of an Engine(lora_bank=...) — each fine-tune is its own
+        # served model id, all multiplexed over ONE frozen 4-bit base
+        # (requests for different models batch into the same wave).
+        self.adapters = dict(adapters or {})
+        if self.adapters:
+            assert getattr(engine, "_bank", None) is not None, (
+                "adapters= requires an Engine built with lora_bank=..."
+            )
+            n = engine.num_adapters
+            bad = {k: v for k, v in self.adapters.items() if not 0 <= v < n}
+            assert not bad, f"adapter indices out of range [0, {n}): {bad}"
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._shutdown = threading.Event()
         self._dispatcher = threading.Thread(
@@ -148,8 +164,14 @@ class CompletionServer:
                 q.put(tok)
 
         try:
+            adapter = (
+                [p.adapter for p in wave]
+                if any(p.adapter is not None for p in wave)
+                else None
+            )
             results = self.engine.generate(
                 [p.tokens for p in wave],
+                adapter=adapter,
                 # Per-request budgets ride SamplingParams.max_new_tokens;
                 # the call-level value is only a fallback.
                 max_new_tokens=max(
@@ -198,11 +220,21 @@ class CompletionServer:
                 raise ValueError(
                     "prompt must be a string or a list of token ids"
                 )
+        model = body.get("model")
+        adapter_idx = None
+        if model is not None and model != self.model_name:
+            if model not in self.adapters:
+                raise ValueError(
+                    f"unknown model {model!r}; served models: "
+                    f"{[self.model_name, *self.adapters]}"
+                )
+            adapter_idx = self.adapters[model]
         pending = _Pending(
             tokens=tokens,
             params=_params_from_body(body, seed_offset),
             logprobs=bool(body.get("logprobs", False)),
             stream_q=queue.Queue() if body.get("stream") else None,
+            adapter=adapter_idx,
         )
         self.stats["requests"] += 1
         self._queue.put(pending)
@@ -321,10 +353,11 @@ class CompletionServer:
                         {
                             "object": "list",
                             "data": [
-                                {
-                                    "id": server.model_name,
-                                    "object": "model",
-                                }
+                                {"id": name, "object": "model"}
+                                for name in (
+                                    server.model_name,
+                                    *server.adapters,
+                                )
                             ],
                         },
                     )

@@ -61,6 +61,30 @@ def _tp_decode_wrap(params, token, cache, positions, *, cfg, mesh, axis, data_ax
     )
 
 
+def _decode_bank_wrap(bundle, token, cache, positions, *, cfg):
+    """decode_step over a (base params, adapter bank, slot adapter ids)
+    bundle — the multi-LoRA serving step.  The bundle rides the normal
+    ``params`` argument slot so every decode path (single-step, the
+    lax.scan multi-step chunks) works unchanged."""
+    base, bank, ids = bundle
+    return decode_step(
+        base, cfg, token=token, cache=cache, positions=positions,
+        lora=bank, adapter_ids=ids,
+    )
+
+
+def _prefill_bank_impl(
+    bundle, tokens, lengths, cache, slots, start, *, cfg, bucket
+):
+    """Engine._prefill_impl over a (base, bank, ids) bundle; each prefill
+    row adopts its slot's adapter (ids[slots])."""
+    base, bank, ids = bundle
+    return Engine._prefill_impl(
+        base, tokens, lengths, cache, slots, start, cfg=cfg, bucket=bucket,
+        lora=bank, adapter_ids=ids[slots],
+    )
+
+
 def _fwd_wrap(params, tokens, cache, positions, seq_lens, *, cfg):
     """Model forward with the signature spec_verify expects."""
     return forward(params, cfg, tokens, cache, positions, seq_lens)
@@ -256,6 +280,7 @@ class Engine:
         spec_k: int = 0,
         spec_ngram: int = 3,
         prefix_cache: bool = False,
+        lora_bank=None,
     ):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -293,6 +318,38 @@ class Engine:
         # continuation prefill and decode only write positions >= Lp.
         self.prefix_cache = prefix_cache
         self.prefix_stats = {"prefix_len": 0, "tokens_saved": 0}
+        # Multi-LoRA serving: a bank of adapters over ONE frozen 4-bit
+        # base, selected per request (generate(..., adapter=[i, ...])).
+        # Accepts a pre-stacked bank (train.lora.stack_adapters) or a
+        # sequence of LoraParams to stack here.  The bank + per-slot
+        # adapter ids ride the params argument as a bundle, so slot
+        # reassignment never recompiles the decode program.
+        self._bank = None
+        self.num_adapters = 0
+        if lora_bank is not None:
+            assert mesh is None, (
+                "multi-LoRA serving is single-device/dp only; merge_lora "
+                "adapters to serve them under tensor parallelism"
+            )
+            assert spec_k == 0 and not prefix_cache, (
+                "lora_bank is not yet composable with speculative decoding "
+                "or prefix caching"
+            )
+            if isinstance(lora_bank, (list, tuple)):
+                from ..train.lora import stack_adapters
+
+                lora_bank = stack_adapters(lora_bank)
+            self._bank = lora_bank
+            ref = next(
+                getattr(lora_bank.layers, f)
+                for f in ("qkv", "o", "gateup", "down")
+                if getattr(lora_bank.layers, f) is not None
+            )
+            assert ref.a.ndim == 4, (
+                "lora_bank must be a STACKED bank ([L, A, r, in] leaves) — "
+                "use train.lora.stack_adapters, or pass a list of adapters"
+            )
+            self.num_adapters = ref.a.shape[1]
         # Cross-call reuse: (prefix token tuple, device-resident KV row).
         # A server with a fixed system prompt pays its prefill ONCE per
         # engine lifetime, not once per generate() call.
@@ -346,6 +403,21 @@ class Engine:
                 tp_axis,
                 data_axis=data_axis,
             )
+        elif self._bank is not None:
+            self.data_axis = None
+            # (base, bank, per-slot adapter ids) bundle; ids start at -1
+            # (no adapter) and are rewritten at refill time.
+            self.params = (
+                params,
+                self._bank,
+                jnp.full((batch_size,), -1, dtype=jnp.int32),
+            )
+            self._decode = jax.jit(functools.partial(_decode_bank_wrap, cfg=cfg))
+            self._prefill_g = jax.jit(
+                functools.partial(_prefill_bank_impl, cfg=cfg),
+                static_argnames=("bucket",),
+            )
+            self._init_cache = functools.partial(init_kv_cache, cfg, batch_size)
         else:
             self.data_axis = None
             self.params = params
@@ -367,7 +439,8 @@ class Engine:
 
     @staticmethod
     def _prefill_impl(
-        params, tokens, lengths, cache, slots, start, *, cfg, bucket
+        params, tokens, lengths, cache, slots, start, *, cfg, bucket,
+        lora=None, adapter_ids=None,
     ):
         """Prefill a GROUP of sequences (each padded to `bucket`) into cache
         slots ``slots``; returns (last_logits [G, V], cache).
@@ -393,7 +466,7 @@ class Engine:
             )
             last, new_slot_cache = forward(
                 params, cfg, tokens, slot_cache, positions, start + lengths,
-                last_only=True,
+                last_only=True, lora=lora, adapter_ids=adapter_ids,
             )
         else:
             nseg = -(-bucket // seg)
@@ -410,7 +483,7 @@ class Engine:
                 seg_lens = start + jnp.minimum(lengths, t0 + seg)
                 logits_seg, carry_cache = forward(
                     params, cfg, seg_toks, carry_cache, positions, seg_lens,
-                    last_only=True,
+                    last_only=True, lora=lora, adapter_ids=adapter_ids,
                 )
                 return carry_cache, logits_seg
 
@@ -488,6 +561,7 @@ class Engine:
         return_logprobs: bool = False,
         stop_tokens: Optional[Sequence[int]] = None,
         on_token=None,
+        adapter=None,
     ) -> List[GenerationResult]:
         """Generate completions for all prompts with continuous batching.
 
@@ -503,7 +577,13 @@ class Engine:
         ``SamplingParams.max_new_tokens`` overrides the call-level budget
         for that request (both are host-side scheduler controls — they
         never enter a compiled program).  ``on_token(request_idx, token)``,
-        when given, is called as each token is emitted (streaming)."""
+        when given, is called as each token is emitted (streaming).
+
+        ``adapter`` (engines built with ``lora_bank=...``): one bank index
+        per prompt (or ``None`` for the bare base model) — requests with
+        DIFFERENT adapters batch together in one wave; a slot adopts its
+        request's adapter at refill and the decode program never
+        recompiles across adapter mixes."""
         if sampling is None:
             sampling = self.sampling
         if isinstance(sampling, SamplingParams):
@@ -549,6 +629,23 @@ class Engine:
         assert all(b >= 1 for b in req_budget), (
             "max_new_tokens must be >= 1 for every request"
         )
+
+        if adapter is not None:
+            assert self._bank is not None, (
+                "generate(adapter=...) needs Engine(lora_bank=...)"
+            )
+            assert len(adapter) == len(prompts), (
+                f"one adapter index per prompt: got {len(adapter)} "
+                f"for {len(prompts)}"
+            )
+            req_adapter = [
+                -1 if a is None else int(a) for a in adapter
+            ]
+            assert all(-1 <= a < self.num_adapters for a in req_adapter), (
+                f"adapter indices must be in [0, {self.num_adapters}) or None"
+            )
+        else:
+            req_adapter = [-1] * len(prompts)
 
         queue = list(range(len(prompts)))
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
@@ -668,6 +765,22 @@ class Engine:
                 pending.append(
                     (s, r, prompt, min(_bucket(len(rem)), cfg.max_seq_len))
                 )
+
+            # Multi-LoRA: point each newly-assigned slot at its request's
+            # adapter BEFORE the group prefills read ids[slots].  The ids
+            # array rides the params bundle, so this is a tiny device
+            # scatter, not a recompile.
+            if self._bank is not None and pending:
+                base, bank, ids = self.params
+                ids = ids.at[
+                    jnp.asarray([it[0] for it in pending], dtype=jnp.int32)
+                ].set(
+                    jnp.asarray(
+                        [req_adapter[it[1]] for it in pending],
+                        dtype=jnp.int32,
+                    )
+                )
+                self.params = (base, bank, ids)
 
             groups = defaultdict(list)
             for item in pending:

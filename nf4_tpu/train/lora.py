@@ -129,6 +129,64 @@ def init_lora(cfg: LlamaConfig, lcfg: LoraConfig, seed: int = 0) -> LoraParams:
     return LoraParams(layers=LoraLayer(**fields))
 
 
+def stack_adapters(loras) -> LoraParams:
+    """Stack independent adapter sets into one multi-LoRA BANK.
+
+    Input: a sequence of :class:`LoraParams` (each with ``[L, ...]``
+    leaves, e.g. from :func:`init_lora` / :func:`load_lora` — possibly
+    different ranks and scalings).  Output: one LoraParams whose leaves
+    carry an adapter axis — ``a: [L, A, r_max, in]``, ``b: [L, A, out,
+    r_max]`` — suitable for per-request adapter serving
+    (``serve.engine.Engine(lora_bank=...)``).
+
+    Normalizations that make the bank uniform without changing any
+    adapter's function:
+
+    * each adapter's ``scaling`` is folded into its ``a`` (the delta is
+      linear in A), so the bank's scaling is exactly 1.0;
+    * ranks are zero-padded to the max rank (zero A rows contribute 0);
+    * a projection adapted by only SOME adapters gets all-zero pairs for
+      the others (delta 0 == not adapted).
+    """
+    loras = list(loras)
+    assert loras, "stack_adapters needs at least one adapter"
+
+    def bank_for(name: str):
+        abs_ = [getattr(lo.layers, name) for lo in loras]
+        if all(ab is None for ab in abs_):
+            return None
+        # Dims from any present pair; L/in/out agree (same base model).
+        ref = next(ab for ab in abs_ if ab is not None)
+        L, _, in_d = ref.a.shape
+        out_d = ref.b.shape[1]
+        rmax = max(ab.a.shape[1] for ab in abs_ if ab is not None)
+        a_rows, b_rows = [], []
+        for ab in abs_:
+            if ab is None:
+                a_rows.append(jnp.zeros((L, rmax, in_d), jnp.float32))
+                b_rows.append(jnp.zeros((L, out_d, rmax), jnp.float32))
+                continue
+            r = ab.a.shape[1]
+            a = ab.a.astype(jnp.float32) * jnp.float32(ab.scaling)
+            b = ab.b.astype(jnp.float32)
+            if r < rmax:
+                a = jnp.pad(a, ((0, 0), (0, rmax - r), (0, 0)))
+                b = jnp.pad(b, ((0, 0), (0, 0), (0, rmax - r)))
+            a_rows.append(a)
+            b_rows.append(b)
+        return LoraAB(
+            a=jnp.stack(a_rows, axis=1),  # [L, A, rmax, in]
+            b=jnp.stack(b_rows, axis=1),  # [L, A, out, rmax]
+            scaling=1.0,
+        )
+
+    return LoraParams(
+        layers=LoraLayer(
+            **{f: bank_for(f) for f in ("qkv", "o", "gateup", "down")}
+        )
+    )
+
+
 def save_lora(path: str, lora: LoraParams, lcfg: LoraConfig) -> None:
     """Write adapters + config to one ``.npz`` (tiny — rank-r pairs only;
     the multi-GB base checkpoint is shared across every adapter set, the
