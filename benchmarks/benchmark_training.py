@@ -58,7 +58,9 @@ def step_flops(cfg, batch: int, seq_len: int, remat: bool) -> float:
         + cfg.q_dim * cfg.hidden_size  # wo
         + 3 * cfg.hidden_size * cfg.intermediate_size  # gate, up, down
     )
-    p = cfg.num_layers * per_layer + 2 * cfg.hidden_size * cfg.vocab_size
+    # Embedding lookup is a gather (no matmul FLOPs, and frozen);
+    # only the lm_head projection is a vocab-sized matmul.
+    p = cfg.num_layers * per_layer + cfg.hidden_size * cfg.vocab_size
     tokens = batch * seq_len
     passes = 3.0 if remat else 2.0  # fwd + bwd-dx (+ remat re-fwd)
     linear = 2.0 * p * tokens * passes

@@ -608,7 +608,7 @@ def _layer_forward(
     # one psum reduces both (identity reduce_fn single-device — same math).
     # Without adapters the projection keeps its collective-matmul option
     # (_reduced_matmul + NF4TPU_COLLECTIVE_MATMUL).
-    if ll is not None:
+    if ll is not None and ll.o is not None:
         o_proj = _add_delta(
             _matmul(attn, lp.wo, out_dtype=jnp.float32),
             _lora_delta(attn, ll.o, adapter_ids),
@@ -637,7 +637,7 @@ def _layer_forward(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
-    if ll is not None:
+    if ll is not None and ll.down is not None:
         down = _add_delta(
             _matmul(h, lp.w_down, out_dtype=jnp.float32),
             _lora_delta(h, ll.down, adapter_ids),

@@ -68,10 +68,11 @@ def _pack_on_device(
         # Sign-magnitude table (fp4): nearest non-negative magnitude by the
         # same strict-greater midpoint rule, remapped from sorted-magnitude
         # position to the table's index order, plus the sign bit for x < 0
-        # (matching the oracle's quantize_to_code and bnb's dQuantizeFP4).
-        mags = code_table[:8]
-        order = np.argsort(mags, kind="stable").astype(np.uint8)
-        mids = code_midpoints(mags[order])  # 7 host constants
+        # (lut.fp4_order_and_mids — the single scheme the oracle and the
+        # native quantizer share).
+        from .lut import fp4_order_and_mids
+
+        order, mids = fp4_order_and_mids(code_table)  # host constants
         a = jnp.abs(norm)
         pos = jnp.zeros(norm.shape, jnp.uint8)
         for mid in mids:

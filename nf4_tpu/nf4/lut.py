@@ -23,6 +23,7 @@ __all__ = [
     "FP4_CODE",
     "nf4_code",
     "get_code",
+    "fp4_order_and_mids",
     "dynamic_code",
     "code_midpoints",
 ]
@@ -87,6 +88,23 @@ FP4_CODE = np.array(
 )
 
 _CODES = {"nf4": NF4_CODE, "fp4": FP4_CODE}
+
+
+def fp4_order_and_mids(code):
+    """Sign-magnitude quantization constants for a 16-entry fp4-layout
+    table: ``(order, mids)`` where ``order[p]`` is the table index of the
+    p-th smallest non-negative magnitude and ``mids`` are the 7 decision
+    midpoints between sorted magnitudes.  Quantize as
+    ``order[#{mids < |x|}] + 8*(x < 0)`` — the single definition all
+    three quantizer methods (oracle / native / device) share so their
+    byte-identical contract cannot drift."""
+    code = np.asarray(code, dtype=np.float32)
+    mags = code[:8]
+    assert np.array_equal(-mags, code[8:]) and (mags >= 0).all(), (
+        "non-monotone codebooks must be sign-magnitude (fp4 layout)"
+    )
+    order = np.argsort(mags, kind="stable").astype(np.uint8)
+    return order, code_midpoints(mags[order])
 
 
 def get_code(quant_type: str) -> np.ndarray:

@@ -198,24 +198,20 @@ def _native_codes(w_flat: np.ndarray, quant_type: str):
     sign bit for x < 0 — byte-identical to the oracle's quantize_to_code.
     The per-block absmax is the same either way (computed from |x|).
     """
-    from .lut import code_midpoints, get_code
+    from .lut import code_midpoints, fp4_order_and_mids, get_code
     from .reference import NF4_BLOCK
 
     code = get_code(quant_type)
     if quant_type == "nf4":
         return quantize_codes(w_flat, NF4_BLOCK, code_midpoints(code))
-    mags = code[:8]
-    order = np.argsort(mags, kind="stable").astype(np.uint8)
-    pos, absmax = quantize_codes(
-        np.abs(w_flat), NF4_BLOCK, code_midpoints(mags[order])
-    )
+    order, mids = fp4_order_and_mids(code)
+    pos, absmax = quantize_codes(np.abs(w_flat), NF4_BLOCK, mids)
     codes = order[pos] + np.where(w_flat < 0, 8, 0).astype(np.uint8)
     return codes, absmax
 
 
 def quantize_nf4_native(w: np.ndarray, dtype=None, quant_type: str = "nf4"):
     """Byte-identical :func:`nf4.reference.quantize_nf4`, C++ hot loops."""
-    from .lut import NF4_CODE, code_midpoints
     from .reference import (
         ABSMAX_BLOCK,
         NF4_BLOCK,
@@ -255,7 +251,6 @@ def quantize_for_tpu_native(
     import jax.numpy as jnp
 
     from .format import PackedNF4, pad_to
-    from .lut import NF4_CODE, code_midpoints
     from .reference import (
         ABSMAX_BLOCK,
         NF4_BLOCK,

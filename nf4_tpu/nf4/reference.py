@@ -107,12 +107,9 @@ def quantize_to_code(x: np.ndarray, code: np.ndarray) -> np.ndarray:
         mids = code_midpoints(code)
         idx = np.searchsorted(mids, x, side="left")
         return idx.astype(np.uint8)
-    mags = code[:8]
-    assert np.array_equal(-mags, code[8:]) and (mags >= 0).all(), (
-        "non-monotone codebooks must be sign-magnitude (fp4 layout)"
-    )
-    order = np.argsort(mags, kind="stable").astype(np.uint8)
-    mids = code_midpoints(mags[order])
+    from .lut import fp4_order_and_mids
+
+    order, mids = fp4_order_and_mids(code)
     pos = np.searchsorted(mids, np.abs(x), side="left")
     idx = order[pos] + np.where(x < 0, 8, 0).astype(np.uint8)
     return idx.astype(np.uint8)

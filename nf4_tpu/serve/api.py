@@ -222,7 +222,10 @@ class CompletionServer:
                 )
         model = body.get("model")
         adapter_idx = None
-        if model is not None and model != self.model_name:
+        # Without an adapter map, the model field is informational (the
+        # pre-multi-LoRA behavior — OpenAI SDKs always send one); with a
+        # map, it routes and unknown names are a client error.
+        if model is not None and model != self.model_name and self.adapters:
             if model not in self.adapters:
                 raise ValueError(
                     f"unknown model {model!r}; served models: "

@@ -328,8 +328,9 @@ class Engine:
         self.num_adapters = 0
         if lora_bank is not None:
             assert mesh is None, (
-                "multi-LoRA serving is single-device/dp only; merge_lora "
-                "adapters to serve them under tensor parallelism"
+                "multi-LoRA serving is single-device only for now; "
+                "merge_lora an adapter into the packed weights to serve "
+                "it over a mesh"
             )
             assert spec_k == 0 and not prefix_cache, (
                 "lora_bank is not yet composable with speculative decoding "

@@ -20,6 +20,7 @@ from .lora import (
     load_lora,
     merge_lora,
     save_lora,
+    stack_adapters,
 )
 from .state import load_train_state, save_train_state
 from .trainer import lm_loss, lora_partition_specs, make_train_step
@@ -30,6 +31,7 @@ __all__ = [
     "LoraLayer",
     "LoraParams",
     "init_lora",
+    "stack_adapters",
     "merge_lora",
     "save_lora",
     "load_lora",

@@ -42,6 +42,7 @@ __all__ = [
     "LoraLayer",
     "LoraParams",
     "init_lora",
+    "stack_adapters",
     "merge_lora",
     "save_lora",
     "load_lora",
@@ -91,9 +92,17 @@ class LoraLayer:
 
 @struct.dataclass
 class LoraParams:
-    """The trainable pytree: stacked per-layer adapters ([L, ...] leaves)."""
+    """The trainable pytree: stacked per-layer adapters ([L, ...] leaves).
+
+    ``tp_basis`` records the ``cfg.tp_shards`` the adapters were
+    initialized against: the fused projections' OUT-row order is
+    interleaved per shard (models.llama.fuse_rows), so A/B matrices of
+    different bases have identical shapes but mean different output
+    channels — the field lets the TP trainer and merge_lora refuse a
+    silent basis mismatch instead of corrupting quietly."""
 
     layers: LoraLayer
+    tp_basis: int = struct.field(pytree_node=False, default=1)
 
     @property
     def num_params(self) -> int:
@@ -126,7 +135,7 @@ def init_lora(cfg: LlamaConfig, lcfg: LoraConfig, seed: int = 0) -> LoraParams:
             b=jnp.zeros((L, out_d, r), dtype=jnp.float32),
             scaling=lcfg.scaling,
         )
-    return LoraParams(layers=LoraLayer(**fields))
+    return LoraParams(layers=LoraLayer(**fields), tp_basis=cfg.tp_shards)
 
 
 def stack_adapters(loras) -> LoraParams:
@@ -150,6 +159,11 @@ def stack_adapters(loras) -> LoraParams:
     """
     loras = list(loras)
     assert loras, "stack_adapters needs at least one adapter"
+    bases = {lo.tp_basis for lo in loras}
+    assert len(bases) == 1, (
+        f"adapters were initialized against different tp_shards bases "
+        f"{sorted(bases)} — their fused-row layouts are incompatible"
+    )
 
     def bank_for(name: str):
         abs_ = [getattr(lo.layers, name) for lo in loras]
@@ -183,7 +197,8 @@ def stack_adapters(loras) -> LoraParams:
     return LoraParams(
         layers=LoraLayer(
             **{f: bank_for(f) for f in ("qkv", "o", "gateup", "down")}
-        )
+        ),
+        tp_basis=loras[0].tp_basis,
     )
 
 
@@ -192,7 +207,11 @@ def save_lora(path: str, lora: LoraParams, lcfg: LoraConfig) -> None:
     the multi-GB base checkpoint is shared across every adapter set, the
     same separation bitsandbytes/PEFT users get from ``save_pretrained``
     on an adapter)."""
-    arrays = {"__rank__": np.int64(lcfg.rank), "__alpha__": np.float64(lcfg.alpha)}
+    arrays = {
+        "__rank__": np.int64(lcfg.rank),
+        "__alpha__": np.float64(lcfg.alpha),
+        "__tp_basis__": np.int64(lora.tp_basis),
+    }
     targets = []
     for name in _TARGETS:
         ab = getattr(lora.layers, _TARGET_FIELD[name])
@@ -212,6 +231,7 @@ def load_lora(path: str) -> Tuple[LoraParams, LoraConfig]:
         lcfg = LoraConfig(
             rank=int(z["__rank__"]), alpha=float(z["__alpha__"]), targets=targets
         )
+        tp_basis = int(z["__tp_basis__"]) if "__tp_basis__" in z else 1
         fields = {}
         for name in _TARGETS:
             if name not in targets:
@@ -222,7 +242,7 @@ def load_lora(path: str) -> Tuple[LoraParams, LoraConfig]:
                 b=jnp.asarray(z[f"{name}.b"]),
                 scaling=lcfg.scaling,
             )
-    return LoraParams(layers=LoraLayer(**fields)), lcfg
+    return LoraParams(layers=LoraLayer(**fields), tp_basis=tp_basis), lcfg
 
 
 def _layer_weight(pw: PackedNF4, layer: int) -> PackedNF4:
@@ -252,6 +272,11 @@ def merge_lora(
     """
     from ..ops.dequant import dequantize
 
+    assert lora.tp_basis == cfg.tp_shards, (
+        f"adapter tp_basis={lora.tp_basis} but cfg.tp_shards="
+        f"{cfg.tp_shards}: the fused-row interleave differs — merge with "
+        "the cfg the adapter was trained against, then repack_tp"
+    )
     merged_layers = []
     for l in range(cfg.num_layers):
         new = {}

@@ -34,6 +34,7 @@ def _map_ab(lora: LoraParams, f):
     ``f(field_name, ab)`` (None targets stay None)."""
     ll = lora.layers
     return LoraParams(
+        tp_basis=lora.tp_basis,
         layers=ll.replace(
             **{
                 name: (None if getattr(ll, name) is None else f(name, getattr(ll, name)))
@@ -221,6 +222,15 @@ def make_train_step(
         assert cfg.vocab_size % tp == 0, (
             f"vocab {cfg.vocab_size} % tp {tp} != 0 (lm_head is vocab-sharded)"
         )
+        # A PACKED lm_head pads out_features to 128 lanes; unless the vocab
+        # shards are 128-aligned, device boundaries fall inside the padding
+        # and the global cross entropy would silently index wrong vocab
+        # entries (local_idx assumes contiguous vocab/tp starts).
+        assert not cfg.quantize_lm_head or cfg.vocab_size % (tp * 128) == 0, (
+            f"quantize_lm_head under tp={tp} needs vocab_size % {tp * 128} "
+            f"== 0 (got {cfg.vocab_size}) so packed-lane shard boundaries "
+            "match vocab shard boundaries"
+        )
         cfg_local = tp_local_config(cfg, tp)
         da = (
             data_axis
@@ -229,6 +239,12 @@ def make_train_step(
         )
 
         def loss_and_grads(params, lora, tokens, loss_mask, positions, segs):
+            assert lora.tp_basis == cfg.tp_shards, (
+                f"adapter tp_basis={lora.tp_basis} != cfg.tp_shards="
+                f"{cfg.tp_shards}: init_lora against the tp-repacked cfg "
+                "(a tp_shards=1 adapter's fused rows are interleaved "
+                "differently and would silently train wrong channels)"
+            )
             p_local = localize_params(params, tp)
             lspecs = lora_partition_specs(lora, model_axis)
             rep = _lora_replicated_mask(lora)
