@@ -73,6 +73,14 @@ def _params_from_body(
     body: Dict[str, Any], seed_offset: int = 0
 ) -> SamplingParams:
     seed = body.get("seed")
+    # OpenAI wire formats: classic completions take an INTEGER "logprobs"
+    # (top-k alternatives per position); chat takes "logprobs": true plus
+    # "top_logprobs": k.  A bare true records only the chosen token's
+    # logprob (the engine's return_logprobs) with no alternatives.
+    lp = body.get("logprobs", 0)
+    top_k_lp = int(body.get("top_logprobs", 0) or 0)
+    if not isinstance(lp, bool) and isinstance(lp, int):
+        top_k_lp = max(top_k_lp, lp)
     return SamplingParams(
         temperature=float(body.get("temperature", 0.0)),
         top_k=int(body.get("top_k", 0)),
@@ -94,6 +102,7 @@ def _params_from_body(
         # whole response is reproducible; unseeded choices diverge through
         # the engine's shared key stream.
         seed=None if seed is None else int(seed) + seed_offset,
+        top_logprobs=top_k_lp,
     )
 
 
@@ -235,7 +244,8 @@ class CompletionServer:
         pending = _Pending(
             tokens=tokens,
             params=_params_from_body(body, seed_offset),
-            logprobs=bool(body.get("logprobs", False)),
+            logprobs=bool(body.get("logprobs", False))
+            or int(body.get("top_logprobs", 0) or 0) > 0,
             stream_q=queue.Queue() if body.get("stream") else None,
             adapter=adapter_idx,
         )
@@ -301,7 +311,19 @@ class CompletionServer:
         if text is not None:
             choice["text"] = text
         if r.logprobs is not None and p.logprobs:
-            choice["logprobs"] = {"token_logprobs": list(r.logprobs)}
+            lp_block: Dict[str, Any] = {"token_logprobs": list(r.logprobs)}
+            if r.top_logprobs is not None:
+                # OpenAI shape: one {token: logprob} dict per position.
+                # Keys are decoded token strings with a tokenizer, else
+                # stringified token ids.
+                def key(t):
+                    txt = self._decode_text([t])
+                    return txt if txt is not None else str(t)
+
+                lp_block["top_logprobs"] = [
+                    {key(t): v for t, v in row} for row in r.top_logprobs
+                ]
+            choice["logprobs"] = lp_block
         return choice
 
     def completion_payload(

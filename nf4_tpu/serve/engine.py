@@ -44,6 +44,17 @@ class GenerationResult:
     # log P(token | prefix) for each generated token, when the engine was
     # asked for them (generate(..., return_logprobs=True)); else None.
     logprobs: Optional[List[float]] = None
+    # Top-N (token_id, logprob) alternatives of the raw next-token
+    # distribution at each generated position, when the request's
+    # SamplingParams.top_logprobs > 0; else None.
+    top_logprobs: Optional[List[List[tuple]]] = None
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _top_logprobs_dev(logits: jax.Array, k: int):
+    """(values, token_ids) of the top-k raw log-softmax per row [B, k]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.lax.top_k(lp, k)
 
 
 @jax.jit
@@ -156,7 +167,8 @@ def _mask_record(mask, toks, active):
 
 
 def _decode_multi_impl(
-    params, token, cache, positions, gen_mask, keys, *, step, sampling, n_steps
+    params, token, cache, positions, gen_mask, keys, *, step, sampling,
+    n_steps, top_lp_k=0,
 ):
     """Run ``n_steps`` decode+sample iterations on-device (one host sync per
     chunk instead of per token — the host readback dominates small-model
@@ -172,22 +184,26 @@ def _decode_multi_impl(
             nxt = sample(lg, sampling, generated_mask=mask)
         else:
             nxt = sample(lg, sampling, key_i, generated_mask=mask)
-        lp = jax.nn.log_softmax(lg, axis=-1)[
-            jnp.arange(lg.shape[0]), nxt
-        ]
+        lpf = jax.nn.log_softmax(lg, axis=-1)
+        lp = lpf[jnp.arange(lg.shape[0]), nxt]
         if mask is not None:
             mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
-        return (nxt, cache, pos + 1, mask), (nxt, lp)
+        ys = (nxt, lp) + (
+            tuple(jax.lax.top_k(lpf, top_lp_k)) if top_lp_k else ()
+        )
+        return (nxt, cache, pos + 1, mask), ys
 
-    (tok, cache, pos, mask), (toks, lps) = jax.lax.scan(
+    (tok, cache, pos, mask), ys = jax.lax.scan(
         body, (token, cache, positions, gen_mask), keys, length=n_steps
     )
-    return toks, lps, cache, pos, mask
+    toks, lps = ys[0], ys[1]
+    tops = (ys[2], ys[3]) if top_lp_k else None
+    return toks, lps, tops, cache, pos, mask
 
 
 def _decode_multi_impl_batched(
     params, token, cache, positions, gen_mask, keys, bp, step_idx, bias,
-    *, step, n_steps
+    *, step, n_steps, top_lp_k=0,
 ):
     """Per-request variant of :func:`_decode_multi_impl`: sampling
     parameters arrive as a traced :class:`BatchedSampling` pytree (one row
@@ -204,21 +220,25 @@ def _decode_multi_impl_batched(
             lg, bp, key_i, generated_mask=mask, step_idx=sidx,
             logit_bias=bias,
         )
-        lp = jax.nn.log_softmax(lg, axis=-1)[
-            jnp.arange(lg.shape[0]), nxt
-        ]
+        lpf = jax.nn.log_softmax(lg, axis=-1)
+        lp = lpf[jnp.arange(lg.shape[0]), nxt]
         if mask is not None:
             upd = mask.at[jnp.arange(mask.shape[0]), nxt]
             mask = upd.set(True) if mask.dtype == jnp.bool_ else upd.add(1)
-        return (nxt, cache, pos + 1, mask, sidx + 1), (nxt, lp)
+        ys = (nxt, lp) + (
+            tuple(jax.lax.top_k(lpf, top_lp_k)) if top_lp_k else ()
+        )
+        return (nxt, cache, pos + 1, mask, sidx + 1), ys
 
-    (tok, cache, pos, mask, _sidx), (toks, lps) = jax.lax.scan(
+    (tok, cache, pos, mask, _sidx), ys = jax.lax.scan(
         body,
         (token, cache, positions, gen_mask, step_idx),
         keys,
         length=n_steps,
     )
-    return toks, lps, cache, pos, mask
+    toks, lps = ys[0], ys[1]
+    tops = (ys[2], ys[3]) if top_lp_k else None
+    return toks, lps, tops, cache, pos, mask
 
 
 @jax.jit
@@ -718,6 +738,10 @@ class Engine:
             return p.presence_penalty != 0.0 or p.frequency_penalty != 0.0
 
         sps_all = [sampling] if per_req is None else per_req
+        # Top-k alternatives: the device computes top-max(k) once per step
+        # for the whole batch; each request slices its own k at retire.
+        top_lp_k = max((p.top_logprobs for p in sps_all), default=0)
+        slot_toplp: List[List[List[tuple]]] = [[] for _ in range(B)]
         use_mask = any(_uses_mask(p) for p in sps_all)
         use_counts = any(_uses_counts(p) for p in sps_all)
         gen_mask = (
@@ -834,9 +858,17 @@ class Engine:
                         )
                     if return_logprobs:
                         lps = np.asarray(_token_logprobs(last_logits, first))
+                    if top_lp_k:
+                        tv, ti = _top_logprobs_dev(last_logits, top_lp_k)
+                        tv, ti = np.asarray(tv), np.asarray(ti)
                     for j, (s, _r, prompt, _b) in enumerate(chunk):
                         slot_pos[s] = len(prompt)
                         slot_generated[s] = [int(first[j])]
+                        slot_toplp[s] = (
+                            [list(zip(ti[j].tolist(), tv[j].tolist()))]
+                            if top_lp_k
+                            else []
+                        )
                         if (
                             on_token is not None
                             and int(first[j]) not in req_stops[_r]
@@ -866,12 +898,19 @@ class Engine:
                 if done_eos or done_len or done_ctx:
                     out = gen[:-1] if done_eos else gen
                     lp = slot_logprobs[s][: len(out)] if return_logprobs else None
+                    k_r = _sp_for(r).top_logprobs
+                    tlp = (
+                        [row[:k_r] for row in slot_toplp[s][: len(out)]]
+                        if k_r
+                        else None
+                    )
                     results[r] = GenerationResult(
-                        list(prompts[r]), out, bool(done_eos), lp
+                        list(prompts[r]), out, bool(done_eos), lp, tlp
                     )
                     slot_req[s] = -1
                     slot_generated[s] = []
                     slot_logprobs[s] = []
+                    slot_toplp[s] = []
             refill(None)
             if not any(r != -1 for r in slot_req):
                 break
@@ -902,6 +941,7 @@ class Engine:
             if (
                 self.spec_k > 0
                 and spec_ok
+                and top_lp_k == 0
                 and all(r != -1 for r in slot_req)
                 and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
             ):
@@ -989,8 +1029,8 @@ class Engine:
                     else:
                         keys = jax.random.split(jax.random.PRNGKey(0), n)
                     if per_req is None:
-                        toks_d, lps_d, cache, _pos_d, gen_mask = (
-                            self._decode_multi(sampling, n)(
+                        toks_d, lps_d, tops_d, cache, _pos_d, gen_mask = (
+                            self._decode_multi(sampling, n, top_lp_k)(
                                 self.params,
                                 jnp.asarray(cur_token),
                                 cache,
@@ -1000,8 +1040,8 @@ class Engine:
                             )
                         )
                     else:
-                        toks_d, lps_d, cache, _pos_d, gen_mask = (
-                            self._decode_multi_b(n)(
+                        toks_d, lps_d, tops_d, cache, _pos_d, gen_mask = (
+                            self._decode_multi_b(n, top_lp_k)(
                                 self.params,
                                 jnp.asarray(cur_token),
                                 cache,
@@ -1020,6 +1060,9 @@ class Engine:
                             )
                         )
                     toks = np.asarray(toks_d)  # [n, B]
+                    if top_lp_k:
+                        ctv = np.asarray(tops_d[0])  # [n, B, k]
+                        cti = np.asarray(tops_d[1])
                     if return_logprobs:
                         lps = np.asarray(lps_d)
                     # INVARIANT: a slot whose stop token lands mid-chunk
@@ -1034,6 +1077,15 @@ class Engine:
                         for i in range(n):
                             t = int(toks[i, s])
                             slot_generated[s].append(t)
+                            if top_lp_k:
+                                slot_toplp[s].append(
+                                    list(
+                                        zip(
+                                            cti[i, s].tolist(),
+                                            ctv[i, s].tolist(),
+                                        )
+                                    )
+                                )
                             if return_logprobs:
                                 slot_logprobs[s].append(float(lps[i, s]))
                             if on_token is not None and t not in req_stops[r]:
@@ -1064,6 +1116,9 @@ class Engine:
                     logit_bias=slot_bias,
                 )
             next_tok = np.asarray(next_dev)
+            if top_lp_k:
+                stv, sti = _top_logprobs_dev(logits, top_lp_k)
+                stv, sti = np.asarray(stv), np.asarray(sti)
             if return_logprobs:
                 step_lps = np.asarray(_token_logprobs(logits, next_tok))
             active = np.asarray([r != -1 for r in slot_req])
@@ -1077,6 +1132,10 @@ class Engine:
             for s in np.nonzero(active)[0]:
                 r = slot_req[s]
                 slot_generated[s].append(int(next_tok[s]))
+                if top_lp_k:
+                    slot_toplp[s].append(
+                        list(zip(sti[s].tolist(), stv[s].tolist()))
+                    )
                 if return_logprobs:
                     slot_logprobs[s].append(float(step_lps[s]))
                 if (
@@ -1122,7 +1181,7 @@ class Engine:
             self._spec_sampled_cache[k] = fn
         return fn
 
-    def _decode_multi(self, sampling: SamplingParams, n_steps: int):
+    def _decode_multi(self, sampling: SamplingParams, n_steps: int, top_lp_k=0):
         # Key on the device-relevant fields only: host-side scheduler
         # fields (stop_tokens, max_new_tokens) never enter the program.
         key = (
@@ -1132,6 +1191,7 @@ class Engine:
             sampling.min_p,
             sampling.repetition_penalty,
             n_steps,
+            top_lp_k,
         )
         fn = self._decode_multi_cache.get(key)
         if fn is None:
@@ -1141,24 +1201,26 @@ class Engine:
                     step=self._decode,
                     sampling=sampling,
                     n_steps=n_steps,
+                    top_lp_k=top_lp_k,
                 )
             )
             self._decode_multi_cache[key] = fn
         return fn
 
-    def _decode_multi_b(self, n_steps: int):
+    def _decode_multi_b(self, n_steps: int, top_lp_k=0):
         """Per-request multi-step decode: one compilation per chunk length
         (the BatchedSampling pytree is traced, not baked in)."""
-        fn = self._decode_multi_b_cache.get(n_steps)
+        fn = self._decode_multi_b_cache.get((n_steps, top_lp_k))
         if fn is None:
             fn = jax.jit(
                 functools.partial(
                     _decode_multi_impl_batched,
                     step=self._decode,
                     n_steps=n_steps,
+                    top_lp_k=top_lp_k,
                 )
             )
-            self._decode_multi_b_cache[n_steps] = fn
+            self._decode_multi_b_cache[(n_steps, top_lp_k)] = fn
         return fn
 
     def _sample(

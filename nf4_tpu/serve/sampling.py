@@ -49,6 +49,12 @@ class SamplingParams:
     # Generation budget override; None defers to generate()'s
     # max_new_tokens argument.
     max_new_tokens: Optional[int] = None
+    # Record the top-N (token, logprob) alternatives of the model's raw
+    # next-token distribution at every generated position (OpenAI
+    # completions' integer ``logprobs`` / chat's ``top_logprobs``).
+    # Host-side: the engine requests top-max(N) from the device once per
+    # step and slices per request; 0 disables.
+    top_logprobs: int = 0
     # Reproducible sampling: when set, this request's token stream depends
     # ONLY on (seed, tokens-generated-so-far) — identical across batch
     # compositions, decode chunk sizes, and engine restarts.  None (the
