@@ -98,6 +98,7 @@ def _params_from_body(
         ),
         stop_tokens=tuple(body.get("stop", ()) or ()),
         max_new_tokens=int(body.get("max_tokens", 64)),
+        min_new_tokens=int(body.get("min_tokens", 0) or 0),
         # "n" completions with a seed get distinct derived seeds so the
         # whole response is reproducible; unseeded choices diverge through
         # the engine's shared key stream.
@@ -372,6 +373,34 @@ class CompletionServer:
             def do_GET(self):
                 if self.path == "/health":
                     self._json(200, {"status": "ok", **server.stats})
+                elif self.path == "/metrics":
+                    # Prometheus text exposition (stdlib-only, scrapable).
+                    eng = server.engine
+                    lines = [
+                        "# TYPE nf4tpu_requests_total counter",
+                        f"nf4tpu_requests_total {server.stats['requests']}",
+                        "# TYPE nf4tpu_waves_total counter",
+                        f"nf4tpu_waves_total {server.stats['waves']}",
+                        "# TYPE nf4tpu_tokens_out_total counter",
+                        f"nf4tpu_tokens_out_total {server.stats['tokens_out']}",
+                        "# TYPE nf4tpu_spec_steps_total counter",
+                        f"nf4tpu_spec_steps_total {eng.spec_stats['steps']}",
+                        "# TYPE nf4tpu_spec_emitted_total counter",
+                        f"nf4tpu_spec_emitted_total {eng.spec_stats['emitted']}",
+                        "# TYPE nf4tpu_prefix_tokens_saved_total counter",
+                        "nf4tpu_prefix_tokens_saved_total "
+                        f"{eng.prefix_stats.get('tokens_saved', 0)}",
+                        "# TYPE nf4tpu_batch_slots gauge",
+                        f"nf4tpu_batch_slots {eng.batch_size}",
+                    ]
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/v1/models":
                     self._json(
                         200,

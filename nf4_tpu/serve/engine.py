@@ -618,6 +618,7 @@ class Engine:
                     or sampling.presence_penalty != 0.0
                     or sampling.frequency_penalty != 0.0
                     or sampling.logit_bias
+                    or sampling.min_new_tokens > 0
                 )
                 else None
             )
@@ -757,17 +758,46 @@ class Engine:
         slot_sp: List[SamplingParams] = [SamplingParams()] * B
         # Per-slot dense logit-bias rows, device-resident; rows are
         # replaced at refill (rare) so decode steps upload nothing.
-        use_bias = any(p.logit_bias for p in sps_all)
+        use_bias = any(
+            p.logit_bias or p.min_new_tokens > 0 for p in sps_all
+        )
         slot_bias = (
             jnp.zeros((B, cfg.vocab_size), jnp.float32) if use_bias else None
         )
+        # min_new_tokens: slots still under their request's minimum carry
+        # a -1e9 ban on eos + that request's stop tokens, merged into their
+        # dense bias row; the ban is lifted (row rebuilt without it) at the
+        # host sync where the count crosses the minimum.
+        slot_banned = [False] * B
 
-        def _bias_rows(sps):
+        def _bias_rows(sps, reqs=None):
             rows = np.zeros((len(sps), cfg.vocab_size), np.float32)
             for i, p in enumerate(sps):
                 for t, bias in p.logit_bias:
                     rows[i, int(t)] = float(bias)
+                if reqs is not None and p.min_new_tokens > 0:
+                    for t in req_stops[reqs[i]]:
+                        if 0 <= int(t) < cfg.vocab_size:
+                            rows[i, int(t)] = -1e9
             return jnp.asarray(rows)
+
+        def _lift_bans():
+            """Clear the eos/stop ban of slots that reached their minimum
+            (rebuild their row from logit_bias alone)."""
+            nonlocal slot_bias
+            clear = [
+                s
+                for s in range(B)
+                if slot_banned[s]
+                and slot_req[s] != -1
+                and len(slot_generated[s])
+                >= _sp_for(slot_req[s]).min_new_tokens
+            ]
+            if clear:
+                rows = _bias_rows([slot_sp[s] for s in clear])
+                slot_bias = slot_bias.at[jnp.asarray(clear)].set(rows)
+                for s in clear:
+                    slot_banned[s] = False
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
@@ -845,10 +875,15 @@ class Engine:
                         ]
                         chunk_bias = None
                         if slot_bias is not None:
-                            chunk_bias = _bias_rows(chunk_sps)
+                            chunk_reqs = [r_ for _s, r_, _p, _b in chunk]
+                            chunk_bias = _bias_rows(chunk_sps, chunk_reqs)
                             slot_bias = slot_bias.at[
                                 jnp.asarray(slots)
                             ].set(chunk_bias)
+                            for (s_, _r2, _p2, _b2), p_ in zip(
+                                chunk, chunk_sps
+                            ):
+                                slot_banned[s_] = p_.min_new_tokens > 0
                         first = np.asarray(
                             self._sample_perreq(
                                 last_logits,
@@ -884,6 +919,8 @@ class Engine:
                         )
 
         refill(None)
+        if use_bias:
+            _lift_bans()
 
         while any(r != -1 for r in slot_req) or queue:
             # Retire finished slots, then refill.
@@ -912,6 +949,8 @@ class Engine:
                     slot_logprobs[s] = []
                     slot_toplp[s] = []
             refill(None)
+            if use_bias:
+                _lift_bans()
             if not any(r != -1 for r in slot_req):
                 break
 
@@ -942,6 +981,7 @@ class Engine:
                 self.spec_k > 0
                 and spec_ok
                 and top_lp_k == 0
+                and not any(slot_banned)
                 and all(r != -1 for r in slot_req)
                 and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
             ):
@@ -1017,7 +1057,13 @@ class Engine:
                 # Fixed chunk size only (each distinct n compiles its own
                 # program); the tail of a budget single-steps.
                 n = self.decode_chunk
-                if rem >= n and ctx_room >= n:
+                ban_static = all(
+                    not slot_banned[s]
+                    or len(slot_generated[s]) + n
+                    <= _sp_for(slot_req[s]).min_new_tokens
+                    for s in range(B)
+                )
+                if rem >= n and ctx_room >= n and ban_static:
                     stoch = (
                         sampling.temperature != 0.0
                         if per_req is None

@@ -49,6 +49,11 @@ class SamplingParams:
     # Generation budget override; None defers to generate()'s
     # max_new_tokens argument.
     max_new_tokens: Optional[int] = None
+    # Suppress end-of-sequence until this many tokens are generated: the
+    # engine bans its eos_token and this request's stop tokens (a -1e9
+    # dense-bias row, lifted once the count is reached) so short prompts
+    # cannot end instantly.  0 disables.
+    min_new_tokens: int = 0
     # Record the top-N (token, logprob) alternatives of the model's raw
     # next-token distribution at every generated position (OpenAI
     # completions' integer ``logprobs`` / chat's ``top_logprobs``).

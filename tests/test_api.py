@@ -346,3 +346,14 @@ def test_wave_stats(served):
     assert stats["requests"] >= 6
     assert stats["waves"] >= 1
     assert stats["tokens_out"] > 0
+
+
+def test_metrics_endpoint(served):
+    url, _ = served
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert "nf4tpu_requests_total" in text
+    assert "nf4tpu_tokens_out_total" in text
+    assert "# TYPE nf4tpu_waves_total counter" in text

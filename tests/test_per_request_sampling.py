@@ -340,3 +340,74 @@ class TestEnginePerRequest:
                 [[1, 2], [3, 4]], max_new_tokens=2,
                 sampling=[SamplingParams()],
             )
+
+
+class TestMinNewTokens:
+    """min_new_tokens bans eos + the request's stop tokens until the
+    minimum is reached — then generation may stop normally."""
+
+    def test_min_tokens_overrides_instant_eos(self, setup):
+        """An engine whose eos would be emitted immediately must still
+        produce min_new_tokens tokens, and none of them may be a stop."""
+        from nf4_tpu.serve.engine import Engine
+
+        CFG, model = setup
+        # Find the token the base model emits first (greedy), then make it
+        # the eos: without a ban, generation stops after 1 token.
+        probe = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]], max_new_tokens=8
+        )[0].tokens
+        eos = probe[0]
+        short = Engine(model, CFG, batch_size=1, eos_token=eos).generate(
+            [[1, 2, 3]], max_new_tokens=8
+        )[0]
+        assert short.tokens == [] and short.finished
+
+        res = Engine(model, CFG, batch_size=1, eos_token=eos).generate(
+            [[1, 2, 3]],
+            max_new_tokens=8,
+            sampling=SamplingParams(min_new_tokens=4),
+        )[0]
+        assert len(res.tokens) >= 4
+        assert eos not in res.tokens[:4]
+
+    def test_min_tokens_mixed_wave_and_chunks(self, setup):
+        """A banned slot and a free slot share a wave; the chunked decode
+        path (decode_chunk=2) must not straddle the crossing — outputs
+        equal the single-step engine's."""
+        from nf4_tpu.serve.engine import Engine
+
+        CFG, model = setup
+        probe = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]], max_new_tokens=1
+        )[0].tokens
+        eos = probe[0]
+        prompts = [[1, 2, 3], [5, 6, 7]]
+        sp = [SamplingParams(min_new_tokens=3), SamplingParams()]
+        fast = Engine(
+            model, CFG, batch_size=2, eos_token=eos, decode_chunk=2
+        ).generate(prompts, max_new_tokens=6, sampling=sp)
+        slow = Engine(
+            model, CFG, batch_size=2, eos_token=eos, decode_chunk=1
+        ).generate(prompts, max_new_tokens=6, sampling=sp)
+        assert [r.tokens for r in fast] == [r.tokens for r in slow]
+        assert len(fast[0].tokens) >= 3
+
+    def test_ban_lifts_after_min(self, setup):
+        """Once the minimum is reached the ban must lift: with
+        min_new_tokens=2 and an eos the model wants to emit, generation
+        ends at the first allowed opportunity, not at the budget."""
+        from nf4_tpu.serve.engine import Engine
+
+        CFG, model = setup
+        probe = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]], max_new_tokens=1
+        )[0].tokens
+        eos = probe[0]
+        res = Engine(model, CFG, batch_size=1, eos_token=eos).generate(
+            [[1, 2, 3]],
+            max_new_tokens=16,
+            sampling=SamplingParams(min_new_tokens=2),
+        )[0]
+        assert res.finished, "ban never lifted — ran to budget"
+        assert 2 <= len(res.tokens) < 16
