@@ -22,7 +22,7 @@ import numpy as np
 
 from ..models.llama import LlamaConfig, LlamaParams, forward, init_kv_cache
 
-__all__ = ["sequence_nll", "perplexity", "perplexity_report"]
+__all__ = ["sequence_nll", "perplexity", "perplexity_report", "token_logprobs"]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -44,6 +44,57 @@ def _batch_nll(params, tokens, seq_lens, cache, cfg: LlamaConfig):
         jnp.arange(T - 1, dtype=jnp.int32)[None, :] < (seq_lens[:, None] - 1)
     ).astype(jnp.float32)
     return -(tok_logp * mask).sum(), mask.sum().astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_token_logp(params, tokens, seq_lens, cache, cfg: LlamaConfig):
+    """Per-position log P(token_t | prefix) for a padded batch: [B, T-1]
+    fp32 (position t-1 predicts t; padding rows are left as-is — the host
+    slices by true length)."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    logits, _ = forward(params, cfg, tokens, cache, positions, seq_lens)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32)[:, :-1, :], axis=-1)
+    targets = tokens[:, 1:]
+    return jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+
+
+def token_logprobs(
+    params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
+    batch_size: int = 8,
+) -> list:
+    """Teacher-forced per-token log-probabilities for each sequence.
+
+    Returns one list per sequence of length ``len(seq) - 1``: entry ``i``
+    is log P(seq[i+1] | seq[:i+1]).  (The first token of a sequence has no
+    conditional probability — OpenAI's completions API reports it as
+    null; callers prepend that themselves.)  Sequences are truncated to
+    ``cfg.max_seq_len``; length-0/1 sequences yield [].
+    """
+    out = [[] for _ in sequences]
+    todo = [
+        (i, list(s)[: cfg.max_seq_len])
+        for i, s in enumerate(sequences)
+        if len(s) >= 2
+    ]
+    for i0 in range(0, len(todo), batch_size):
+        chunk = todo[i0 : i0 + batch_size]
+        B = len(chunk)
+        T = max(len(s) for _, s in chunk)
+        toks = np.zeros((B, T), dtype=np.int32)
+        lens = np.zeros((B,), dtype=np.int32)
+        for j, (_, s) in enumerate(chunk):
+            toks[j, : len(s)] = s
+            lens[j] = len(s)
+        cache = init_kv_cache(cfg, B)
+        lp = np.asarray(
+            _batch_token_logp(
+                params, jnp.asarray(toks), jnp.asarray(lens), cache, cfg
+            )
+        )
+        for j, (i, s) in enumerate(chunk):
+            out[i] = [float(v) for v in lp[j, : len(s) - 1]]
+    return out
 
 
 def sequence_nll(

@@ -67,6 +67,11 @@ class _Pending:
     # Multi-LoRA: bank index of the adapter serving this request (None =
     # the bare base model).  Set from the request's "model" field.
     adapter: Optional[int] = None
+    # OpenAI "echo": include the prompt (and, with logprobs, its
+    # teacher-forced logprobs) in the response.  max_tokens=0 + echo is
+    # the pure scoring idiom.
+    echo: bool = False
+    prompt_logprobs: Any = None
 
 
 def _params_from_body(
@@ -174,23 +179,40 @@ class CompletionServer:
                 q.put(tok)
 
         try:
-            adapter = (
-                [p.adapter for p in wave]
-                if any(p.adapter is not None for p in wave)
-                else None
-            )
-            results = self.engine.generate(
-                [p.tokens for p in wave],
-                adapter=adapter,
-                # Per-request budgets ride SamplingParams.max_new_tokens;
-                # the call-level value is only a fallback.
-                max_new_tokens=max(
-                    p.params.max_new_tokens or 64 for p in wave
-                ),
-                sampling=[p.params for p in wave],
-                return_logprobs=any(p.logprobs for p in wave),
-                on_token=on_token if streams else None,
-            )
+            from .engine import GenerationResult
+
+            # Scoring-only requests (echo + max_tokens=0) skip generation.
+            gen_wave = [p for p in wave if p.params.max_new_tokens != 0]
+            for p in wave:
+                if p not in gen_wave:
+                    p.result = GenerationResult(list(p.tokens), [], True, [])
+            if gen_wave:
+                adapter = (
+                    [p.adapter for p in gen_wave]
+                    if any(p.adapter is not None for p in gen_wave)
+                    else None
+                )
+                results = self.engine.generate(
+                    [p.tokens for p in gen_wave],
+                    adapter=adapter,
+                    # Per-request budgets ride SamplingParams
+                    # .max_new_tokens; the call-level value is a fallback.
+                    max_new_tokens=max(
+                        p.params.max_new_tokens or 64 for p in gen_wave
+                    ),
+                    sampling=[p.params for p in gen_wave],
+                    return_logprobs=any(p.logprobs for p in gen_wave),
+                    on_token=on_token if streams else None,
+                )
+            else:
+                results = []
+            # Prompt logprobs for echo+logprobs requests, one batched
+            # teacher-forced pass (engine.score).
+            need = [p for p in wave if p.echo and p.logprobs]
+            if need:
+                plps = self.engine.score([p.tokens for p in need])
+                for p, lp in zip(need, plps):
+                    p.prompt_logprobs = lp
         except Exception as e:  # surface engine failures to every waiter
             for p in wave:
                 p.error = f"{type(e).__name__}: {e}"
@@ -198,9 +220,10 @@ class CompletionServer:
                     p.stream_q.put(None)
                 p.done.set()
             return
-        for p, r in zip(wave, results):
+        for p, r in zip(gen_wave, results):
             p.result = r
             self.stats["tokens_out"] += len(r.tokens)
+        for p in wave:
             if p.stream_q is not None:
                 p.stream_q.put(None)
             p.done.set()
@@ -242,13 +265,18 @@ class CompletionServer:
                     f"{[self.model_name, *self.adapters]}"
                 )
             adapter_idx = self.adapters[model]
+        echo = bool(body.get("echo", False))
+        params = _params_from_body(body, seed_offset)
+        if params.max_new_tokens == 0 and not echo:
+            raise ValueError("max_tokens=0 requires echo=true (scoring)")
         pending = _Pending(
             tokens=tokens,
-            params=_params_from_body(body, seed_offset),
+            params=params,
             logprobs=bool(body.get("logprobs", False))
             or int(body.get("top_logprobs", 0) or 0) > 0,
             stream_q=queue.Queue() if body.get("stream") else None,
             adapter=adapter_idx,
+            echo=echo,
         )
         self.stats["requests"] += 1
         self._queue.put(pending)
@@ -303,14 +331,26 @@ class CompletionServer:
 
     def _choice(self, p: _Pending, index: int) -> Dict[str, Any]:
         r = p.result
+        out_tokens = (list(p.tokens) if p.echo else []) + list(r.tokens)
         choice: Dict[str, Any] = {
             "index": index,
-            "tokens": list(r.tokens),
+            "tokens": out_tokens,
             "finish_reason": "stop" if r.finished else "length",
         }
-        text = self._decode_text(r.tokens)
+        text = self._decode_text(out_tokens)
         if text is not None:
             choice["text"] = text
+        if p.echo and p.logprobs:
+            # OpenAI echo scoring: the first prompt token has no
+            # conditional probability (null), then the prompt's
+            # teacher-forced logprobs, then the completion's.
+            lp_block: Dict[str, Any] = {
+                "token_logprobs": [None]
+                + list(p.prompt_logprobs or [])
+                + list(r.logprobs or [])
+            }
+            choice["logprobs"] = lp_block
+            return choice
         if r.logprobs is not None and p.logprobs:
             lp_block: Dict[str, Any] = {"token_logprobs": list(r.logprobs)}
             if r.top_logprobs is not None:

@@ -1192,6 +1192,22 @@ class Engine:
 
         return [r for r in results if r is not None]
 
+    def score(self, prompts, batch_size: Optional[int] = None):
+        """Teacher-forced per-token log-probabilities of given sequences
+        (no generation): one list per prompt, entry i = log P(tok[i+1] |
+        tok[:i+1]).  The scoring idiom behind OpenAI completions'
+        ``echo=true, max_tokens=0``; the same fp32 math as eval.ppl.
+        Single-device engines only (score a TP-served model through
+        eval.ppl on a localized copy)."""
+        assert self.mesh is None, "score() is single-device only"
+        from ..eval.ppl import token_logprobs
+
+        params = self.params[0] if self._bank is not None else self.params
+        return token_logprobs(
+            params, self.cfg, prompts,
+            batch_size=batch_size or self.batch_size,
+        )
+
     def _spec_fwd(self):
         if self.mesh is not None:
             return functools.partial(

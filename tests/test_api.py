@@ -8,6 +8,8 @@ parameters share a wave (the per-request sampling path end-to-end).
 
 import json
 import threading
+
+import numpy as np
 import urllib.request
 
 import pytest
@@ -357,3 +359,45 @@ def test_metrics_endpoint(served):
     assert "nf4tpu_requests_total" in text
     assert "nf4tpu_tokens_out_total" in text
     assert "# TYPE nf4tpu_waves_total counter" in text
+
+
+class TestEchoScoring:
+    """OpenAI echo semantics: prompt (+ its teacher-forced logprobs) in the
+    response; echo + max_tokens=0 is pure scoring with no generation."""
+
+    def test_score_only(self, served):
+        url, twin = served
+        prompt = [3, 1, 4, 1, 5, 9]
+        st, body = _post(
+            url,
+            {"prompt": prompt, "max_tokens": 0, "echo": True, "logprobs": True},
+        )
+        assert st == 200, body
+        ch = body["choices"][0]
+        assert ch["tokens"] == prompt
+        lps = ch["logprobs"]["token_logprobs"]
+        assert lps[0] is None and len(lps) == len(prompt)
+        want = twin.score([prompt])[0]
+        np.testing.assert_allclose(lps[1:], want, rtol=1e-5)
+
+    def test_echo_with_generation(self, served):
+        url, twin = served
+        prompt = [3, 1, 4, 1]
+        st, body = _post(
+            url,
+            {"prompt": prompt, "max_tokens": 3, "echo": True, "logprobs": True},
+        )
+        assert st == 200, body
+        ch = body["choices"][0]
+        assert ch["tokens"][: len(prompt)] == prompt
+        gen = ch["tokens"][len(prompt):]
+        want = twin.generate([prompt], max_new_tokens=3)[0].tokens
+        assert gen == want
+        lps = ch["logprobs"]["token_logprobs"]
+        assert lps[0] is None
+        assert len(lps) == len(prompt) + len(gen)
+
+    def test_score_without_echo_rejected(self, served):
+        url, _ = served
+        st, body = _post(url, {"prompt": [1, 2, 3], "max_tokens": 0})
+        assert st == 400 and "echo" in body["error"]

@@ -104,3 +104,25 @@ class TestEvalCLI:
             ]
         )
         assert rc2 == 1
+
+
+class TestTokenLogprobs:
+    def test_sums_match_sequence_nll(self, tiny_model):
+        """token_logprobs is the per-token decomposition of sequence_nll:
+        -sum over all sequences' entries == total NLL, counts match."""
+        from nf4_tpu.eval.ppl import sequence_nll, token_logprobs
+
+        params, cfg = tiny_model
+        rng = np.random.default_rng(5)
+        seqs = [
+            rng.integers(0, cfg.vocab_size, rng.integers(2, 20)).tolist()
+            for _ in range(7)
+        ] + [[4]]  # length-1: no predictions
+        lps = token_logprobs(params, cfg, seqs, batch_size=3)
+        nll, ntok = sequence_nll(params, cfg, seqs, batch_size=3)
+        assert lps[-1] == []
+        assert [len(l) for l in lps[:-1]] == [len(s) - 1 for s in seqs[:-1]]
+        assert sum(len(l) for l in lps) == ntok
+        np.testing.assert_allclose(
+            -sum(v for l in lps for v in l), nll, rtol=1e-5
+        )
