@@ -114,6 +114,21 @@ LLAMA3_8B = LlamaConfig(
     max_seq_len=8192,
 )
 
+# Llama-3.1-8B: same weights shape as 3.0 but 128k context via the
+# "llama3" rope scaling (HF config.json rope_scaling).
+LLAMA3_1_8B = LlamaConfig(
+    vocab_size=128256,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=500000.0,
+    rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192),
+    max_seq_len=131072,
+)
+
 # Llama-3-70B (BASELINE.json config 5: multi-host scaling target).
 LLAMA3_70B = LlamaConfig(
     vocab_size=128256,
@@ -135,6 +150,7 @@ _REGISTRY = {
     "gemma-7b": GEMMA_7B,
     "qwen2-7b": QWEN2_7B,
     "llama3-8b": LLAMA3_8B,
+    "llama3.1-8b": LLAMA3_1_8B,
     "llama3-70b": LLAMA3_70B,
 }
 

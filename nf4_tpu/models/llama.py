@@ -65,6 +65,11 @@ class LlamaConfig:
     num_kv_heads: int = 4
     head_dim: int = 64
     rope_theta: float = 10000.0
+    # RoPE frequency scaling for long-context checkpoints, as a hashable
+    # tuple: ("llama3", factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings) — the Llama-3.1/3.2 scheme — or
+    # ("linear", factor).  None = unscaled.
+    rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 2048
     # Sliding-window attention (Mistral-style): each query attends only to
@@ -379,12 +384,39 @@ def rms_norm(
     return (normed * w).astype(x.dtype)
 
 
-def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables for the HF 'rotate_half' convention; positions [...]"""
+def _scaled_inv_freq(cfg: LlamaConfig) -> jax.Array:
+    """Per-frequency inverse wavelengths, with optional long-context
+    scaling (HF ``rope_scaling``).  The "llama3" scheme (Llama-3.1/3.2)
+    divides low-frequency components by ``factor`` and smoothly
+    interpolates the band between ``high_freq_factor`` and
+    ``low_freq_factor`` wavelengths of the original training context —
+    the exact formula of HF's ``_compute_llama3_parameters``."""
     half = cfg.head_dim // 2
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )
+    if cfg.rope_scaling is None:
+        return inv_freq
+    kind = cfg.rope_scaling[0]
+    if kind == "linear":
+        return inv_freq / jnp.float32(cfg.rope_scaling[1])
+    if kind == "llama3":
+        _, factor, lo_f, hi_f, orig = cfg.rope_scaling
+        wavelen = 2.0 * jnp.pi / inv_freq
+        low_wl = orig / lo_f  # longest kept-ish wavelengths
+        high_wl = orig / hi_f
+        scaled = inv_freq / jnp.float32(factor)
+        smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+        mid = (1.0 - smooth) * scaled + smooth * inv_freq
+        return jnp.where(
+            wavelen < high_wl, inv_freq, jnp.where(wavelen > low_wl, scaled, mid)
+        )
+    raise ValueError(f"unknown rope_scaling kind {kind!r}; llama3|linear")
+
+
+def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the HF 'rotate_half' convention; positions [...]"""
+    inv_freq = _scaled_inv_freq(cfg)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
     emb = jnp.concatenate([angles, angles], axis=-1)  # [..., D]
     return jnp.cos(emb), jnp.sin(emb)

@@ -27,6 +27,33 @@ __all__ = [
 ]
 
 
+def _parse_rope_scaling(rs):
+    """HF ``rope_scaling`` dict -> the hashable LlamaConfig tuple.
+
+    Handles the "llama3" scheme (Llama-3.1/3.2) and "linear"; "default"/
+    None pass through.  Unknown schemes (yarn, longrope, dynamic) raise —
+    silently ignoring them would load a checkpoint with wrong long-range
+    attention."""
+    if not rs:
+        return None
+    kind = str(rs.get("rope_type", rs.get("type", ""))).lower()
+    if kind in ("", "default"):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3",
+            float(rs["factor"]),
+            float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        )
+    raise ValueError(
+        f"unsupported rope_scaling type {kind!r} (supported: llama3, linear)"
+    )
+
+
 def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
     """Translate an HF ``config.json`` into a LlamaConfig."""
     with open(cfg_path) as f:
@@ -41,6 +68,7 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
         head_dim=head_dim,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_scaling=_parse_rope_scaling(hf.get("rope_scaling")),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         attn_bias=bool(hf.get("attention_bias", False))
         or hf.get("model_type") == "qwen2",
