@@ -114,6 +114,35 @@ LLAMA3_8B = LlamaConfig(
     max_seq_len=8192,
 )
 
+# Tiny MoE config for tests (Mixtral-style routing at toy scale).
+TINY_MOE = LlamaConfig(
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=32,
+    max_seq_len=64,
+    num_experts=4,
+    experts_per_token=2,
+)
+
+# Mixtral-8x7B (MoE: 8 experts, top-2 routing, Mistral-style attention).
+MIXTRAL_8X7B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=1000000.0,
+    max_seq_len=32768,
+    num_experts=8,
+    experts_per_token=2,
+)
+
 # Llama-3.1-8B: same weights shape as 3.0 but 128k context via the
 # "llama3" rope scaling (HF config.json rope_scaling).
 LLAMA3_1_8B = LlamaConfig(
@@ -151,6 +180,8 @@ _REGISTRY = {
     "qwen2-7b": QWEN2_7B,
     "llama3-8b": LLAMA3_8B,
     "llama3.1-8b": LLAMA3_1_8B,
+    "tiny-moe": TINY_MOE,
+    "mixtral-8x7b": MIXTRAL_8X7B,
     "llama3-70b": LLAMA3_70B,
 }
 

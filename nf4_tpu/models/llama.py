@@ -104,6 +104,13 @@ class LlamaConfig:
     # Pack row-parallel weights (wo, w_down) in this many K-chunks so they
     # can be contraction-sharded over a tensor-parallel mesh axis.
     tp_shards: int = 1
+    # Mixture-of-experts MLP (Mixtral): the gated MLP is replicated into
+    # num_experts experts (w_gateup/w_down leaves gain a leading expert
+    # axis; LayerParams.router holds the [E, hidden] gate) and each token
+    # is routed to the softmax-renormalized top experts_per_token of them.
+    # num_experts=1 is the plain dense MLP.
+    num_experts: int = 1
+    experts_per_token: int = 2
 
     @property
     def q_dim(self) -> int:
@@ -140,6 +147,9 @@ class LayerParams:
     # Fused q/k/v bias [q_dim + 2*kv_dim] (Qwen2-style, cfg.attn_bias);
     # interleaved per shard exactly like wqkv's rows.  None when absent.
     qkv_bias: Optional[jax.Array] = None
+    # MoE router [num_experts, hidden] (dense — it is tiny and the route
+    # decision is precision-sensitive).  None for dense-MLP models.
+    router: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -229,6 +239,30 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
         return (rng.standard_normal((mo, ni)) * (ni**-0.5)).astype(np.float32)
 
     g = cfg.tp_shards
+
+    def mlp_weights():
+        """(w_gateup, w_down, router): dense-MLP weights, or expert-stacked
+        ([E, ...] leaves via tree-stacking the per-expert PackedNF4s) plus
+        the dense router for MoE configs."""
+        if cfg.num_experts == 1:
+            return (
+                _linear(fuse_rows([dense(inter, h), dense(inter, h)], g), cfg),
+                _linear(dense(h, inter), cfg, shards=g),
+                None,
+            )
+        gus, dns = [], []
+        for _e in range(cfg.num_experts):
+            gus.append(
+                _linear(fuse_rows([dense(inter, h), dense(inter, h)], g), cfg)
+            )
+            dns.append(_linear(dense(h, inter), cfg, shards=g))
+        stack = lambda ws: jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+        router = jnp.asarray(
+            rng.standard_normal((cfg.num_experts, h)) * (h**-0.5),
+            dtype=jnp.float32,
+        )
+        return stack(gus), stack(dns), router
+
     layers = []
     for _ in range(cfg.num_layers):
         qkv_bias = None
@@ -254,13 +288,15 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
                     cfg,
                 ),
                 wo=_linear(dense(h, cfg.q_dim), cfg, shards=g),
-                w_gateup=_linear(fuse_rows([dense(inter, h), dense(inter, h)], g), cfg),
-                w_down=_linear(dense(h, inter), cfg, shards=g),
+                w_gateup=None,
+                w_down=None,
                 input_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_attn_norm=jnp.ones((h,), dtype=jnp.float32),
                 qkv_bias=qkv_bias,
             )
         )
+        gu, dn, router = mlp_weights()
+        layers[-1] = layers[-1].replace(w_gateup=gu, w_down=dn, router=router)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return LlamaParams(
         embed=jnp.asarray(
@@ -298,14 +334,39 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
         qkv_bias = jnp.asarray(
             fuse_rows([lw["bq"], lw["bk"], lw["bv"]], g), dtype=jnp.float32
         )
+    if cfg.num_experts > 1:
+        stack = lambda ws: jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+        gu = stack(
+            [
+                _linear(
+                    fuse_rows(
+                        [lw[f"expert{e}.w_gate"], lw[f"expert{e}.w_up"]], g
+                    ),
+                    cfg,
+                )
+                for e in range(cfg.num_experts)
+            ]
+        )
+        dn = stack(
+            [
+                _linear(lw[f"expert{e}.w_down"], cfg, shards=g)
+                for e in range(cfg.num_experts)
+            ]
+        )
+        router = jnp.asarray(lw["router"], dtype=jnp.float32)
+    else:
+        gu = _linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg)
+        dn = _linear(lw["w_down"], cfg, shards=g)
+        router = None
     return LayerParams(
         wqkv=_linear(fuse_rows([lw["wq"], lw["wk"], lw["wv"]], g), cfg),
         wo=_linear(lw["wo"], cfg, shards=g),
-        w_gateup=_linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg),
-        w_down=_linear(lw["w_down"], cfg, shards=g),
+        w_gateup=gu,
+        w_down=dn,
         input_norm=jnp.asarray(lw["input_norm"], dtype=jnp.float32),
         post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
         qkv_bias=qkv_bias,
+        router=router,
     )
 
 
@@ -652,12 +713,6 @@ def _layer_forward(
         ).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
-    gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
-    if ll is not None:
-        gateup = _add_delta(gateup, _lora_delta(mlp_in, ll.gateup, adapter_ids))
-    gate, up = split_fused(
-        gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
-    )
     if cfg.activation == "silu":
         act = jax.nn.silu
     elif cfg.activation == "gelu_tanh":
@@ -668,6 +723,21 @@ def _layer_forward(
         raise ValueError(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
+
+    if cfg.num_experts > 1:
+        assert ll is None or (ll.gateup is None and ll.down is None), (
+            "LoRA on MoE expert MLPs is not supported — adapt the "
+            "attention projections (targets=('wqkv', 'wo'))"
+        )
+        x = x + _moe_mlp(cfg, mlp_in, lp, act, reduce_fn).astype(x.dtype)
+        return x, layer_cache
+
+    gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
+    if ll is not None:
+        gateup = _add_delta(gateup, _lora_delta(mlp_in, ll.gateup, adapter_ids))
+    gate, up = split_fused(
+        gateup, (cfg.intermediate_size, cfg.intermediate_size), groups=cfg.tp_shards
+    )
     h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
     if ll is not None and ll.down is not None:
         down = _add_delta(
@@ -680,6 +750,62 @@ def _layer_forward(
             h, lp.w_down, reduce_fn, out_dtype=jnp.float32
         ).astype(x.dtype)
     return x, layer_cache
+
+
+def _moe_mlp(cfg: LlamaConfig, mlp_in, lp: LayerParams, act, reduce_fn):
+    """Mixture-of-experts gated MLP (Mixtral semantics): full softmax over
+    router logits, top-``experts_per_token`` selection, weights
+    renormalized over the selected experts (equivalently: softmax of the
+    selected logits), expert outputs combined by those weights.
+
+    TPU-first evaluation strategy: EVERY token runs through EVERY expert
+    under a ``lax.scan`` over the expert axis, masked by the routing
+    weights.  At decode batch sizes the MLP is weight-bound — all E packed
+    experts stream from HBM once regardless of routing (any expert may be
+    hit), so dense evaluation costs the same memory traffic as perfect
+    dispatch and avoids data-dependent gather/scatter that XLA cannot
+    tile.  At prefill it spends E/k extra MXU FLOPs — the standard
+    small-scale TPU MoE trade (dispatch via collectives only pays off
+    once experts are sharded over many chips).
+
+    Under tensor parallelism each expert's gate/up columns and down
+    K-chunks shard exactly like the dense MLP; the psum happens ONCE on
+    the accumulated expert sum (partials add across experts before the
+    reduction)."""
+    router_logits = jnp.dot(
+        mlp_in.astype(jnp.float32),
+        lp.router.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # [B, S, E]
+    topv, topi = jax.lax.top_k(router_logits, cfg.experts_per_token)
+    weights = jax.nn.softmax(topv, axis=-1)  # [B, S, k]
+
+    def body(acc, xs):
+        e, gu_e, dn_e = xs
+        gateup = _matmul(mlp_in, gu_e)
+        gate, up = split_fused(
+            gateup,
+            (cfg.intermediate_size, cfg.intermediate_size),
+            groups=cfg.tp_shards,
+        )
+        h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
+        out_e = _matmul(h, dn_e, out_dtype=jnp.float32)
+        w_e = jnp.where(topi == e, weights, 0.0).sum(axis=-1)  # [B, S]
+        return acc + w_e[..., None] * out_e, None
+
+    b, s_len, _ = mlp_in.shape
+    out_dim = mlp_in.shape[-1]
+    acc0 = jnp.zeros((b, s_len, out_dim), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (
+            jnp.arange(cfg.num_experts, dtype=jnp.int32),
+            lp.w_gateup,
+            lp.w_down,
+        ),
+    )
+    return reduce_fn(acc)
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,8 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         head_dim=head_dim,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         rope_scaling=_parse_rope_scaling(hf.get("rope_scaling")),
+        num_experts=int(hf.get("num_local_experts", 1) or 1),
+        experts_per_token=int(hf.get("num_experts_per_tok", 2) or 2),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         attn_bias=bool(hf.get("attention_bias", False))
         or hf.get("model_type") == "qwen2",
@@ -119,6 +121,10 @@ def _iter_safetensors(model_dir: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 _HF_LAYER_RE = re.compile(r"model\.layers\.(\d+)\.(.+)")
+_HF_EXPERT_RE = re.compile(
+    r"block_sparse_moe\.experts\.(\d+)\.w([123])\.weight"
+)
+_EXPERT_W = {"1": "w_gate", "2": "w_down", "3": "w_up"}
 
 _HF_TO_OURS = {
     "self_attn.q_proj.weight": "wq",
@@ -128,6 +134,9 @@ _HF_TO_OURS = {
     "mlp.gate_proj.weight": "w_gate",
     "mlp.up_proj.weight": "w_up",
     "mlp.down_proj.weight": "w_down",
+    # Mixtral MoE router; per-expert weights are matched by
+    # _HF_EXPERT_RE below (w1=gate, w3=up, w2=down).
+    "block_sparse_moe.gate.weight": "router",
     "input_layernorm.weight": "input_norm",
     "post_attention_layernorm.weight": "post_attn_norm",
     # Qwen2-style attention biases (optional; required iff cfg.attn_bias).
@@ -173,6 +182,17 @@ def load_hf_llama(
     required = set(_HF_TO_OURS.values())
     if not cfg.attn_bias:
         required -= _BIAS_KEYS
+    if cfg.num_experts > 1:
+        # MoE checkpoints have per-expert MLP tensors instead of the
+        # dense mlp.* keys, plus the router.
+        required -= {"w_gate", "w_up", "w_down"}
+        required |= {
+            f"expert{e}.{w}"
+            for e in range(cfg.num_experts)
+            for w in ("w_gate", "w_up", "w_down")
+        }
+    else:
+        required -= {"router"}
 
     layer_weights: Dict[int, Dict[str, np.ndarray]] = {}
     built: Dict[int, object] = {}  # layer idx -> quantized LayerParams
@@ -195,6 +215,10 @@ def load_hf_llama(
                 continue
             idx, sub = int(m.group(1)), m.group(2)
             ours = _HF_TO_OURS.get(sub)
+            if ours is None:
+                me = _HF_EXPERT_RE.match(sub)
+                if me:
+                    ours = f"expert{int(me.group(1))}.{_EXPERT_W[me.group(2)]}"
             if ours is None or idx >= cfg.num_layers:
                 continue
             lw = layer_weights.setdefault(idx, {})
@@ -293,6 +317,8 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
         arrays[f"layers.{name}"] = np.asarray(getattr(params.layers, name))
     if params.layers.qkv_bias is not None:
         arrays["layers.qkv_bias"] = np.asarray(params.layers.qkv_bias)
+    if params.layers.router is not None:
+        arrays["layers.router"] = np.asarray(params.layers.router)
 
     meta = {
         "shapes": shapes,
@@ -381,6 +407,9 @@ def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
         fields[name] = get(f"layers.{name}")
     fields["qkv_bias"] = (
         get("layers.qkv_bias") if "layers.qkv_bias" in data else None
+    )
+    fields["router"] = (
+        get("layers.router") if "layers.router" in data else None
     )
     if "lm_head.packed" in data:
         lm_head = packed_weight("lm_head", "lm_head")

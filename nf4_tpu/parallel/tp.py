@@ -117,6 +117,11 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
     passed through shard_map (which slices leaves but keeps aux data).
     """
     lp = params.layers
+    assert lp.router is None, (
+        "tensor parallelism over MoE expert weights is not implemented yet "
+        "(the [L, E, ...] expert axis needs its own shard layout); serve "
+        "MoE models single-device or data-parallel"
+    )
     new_layers = lp.replace(
         **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},
         **{k: _localize_weight(getattr(lp, k), tp, "row") for k in _ROW_PARALLEL},
@@ -221,6 +226,9 @@ def repack_tp(params: LlamaParams, cfg: LlamaConfig, tp: int):
     from ..nf4.format import interleave_perm, permute_out_features, rechunk_shards
     from ..ops.int8_serve import PackedInt8
 
+    assert cfg.num_experts == 1, (
+        "repack_tp over MoE expert weights is not implemented yet"
+    )
     g0 = cfg.tp_shards
     if g0 == tp:
         return params, cfg

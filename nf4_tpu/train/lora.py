@@ -121,6 +121,13 @@ def _target_dims(cfg: LlamaConfig, name: str) -> Tuple[int, int]:
 
 def init_lora(cfg: LlamaConfig, lcfg: LoraConfig, seed: int = 0) -> LoraParams:
     """Initialize stacked adapters for every layer: A gaussian, B zero."""
+    if cfg.num_experts > 1 and (
+        "w_gateup" in lcfg.targets or "w_down" in lcfg.targets
+    ):
+        raise ValueError(
+            "LoRA on MoE expert MLPs is not supported; use "
+            "LoraConfig(targets=('wqkv', 'wo'))"
+        )
     rng = np.random.default_rng(seed)
     L, r = cfg.num_layers, lcfg.rank
     fields = {}
