@@ -401,3 +401,47 @@ class TestMultiStepDecode:
             on_token=lambda r, t: streamed.append(t),
         )[0]
         assert streamed == res.tokens
+
+
+class TestTPEngineFP4:
+    """quant_type='fp4' checkpoints serve through the TP layer too: the
+    static PackedNF4 field survives localize/shard_map and every device
+    compiles the fp4 byte tables (token-identical to single-device)."""
+
+    def test_fp4_tp_matches_single_device(self):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        import dataclasses
+
+        from nf4_tpu.models.llama import LlamaConfig
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        cfg = LlamaConfig(
+            vocab_size=256,
+            hidden_size=256,
+            intermediate_size=512,
+            num_layers=2,
+            num_heads=8,
+            num_kv_heads=4,
+            head_dim=128,
+            max_seq_len=32,
+            tp_shards=4,
+            quant_type="fp4",
+        )
+        params = init_params(cfg, seed=0)
+        assert params.layers.wqkv.quant_type == "fp4"
+        prompts = [[3, 5, 7], [11, 13]]
+        want = [
+            r.tokens
+            for r in Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+                prompts, max_new_tokens=5
+            )
+        ]
+        mesh = make_mesh(tp=4)
+        got = [
+            r.tokens
+            for r in Engine(
+                params, cfg, batch_size=2, eos_token=-1, mesh=mesh
+            ).generate(prompts, max_new_tokens=5)
+        ]
+        assert got == want
