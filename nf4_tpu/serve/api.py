@@ -267,6 +267,24 @@ class CompletionServer:
             adapter_idx = self.adapters[model]
         echo = bool(body.get("echo", False))
         params = _params_from_body(body, seed_offset)
+        gc = body.get("guided_choice")
+        if gc:
+            # vLLM-style guided choice: each option is a token-id list, or
+            # a string when the server has a tokenizer.
+            opts = []
+            for c in gc:
+                if isinstance(c, str):
+                    if self.tokenizer is None:
+                        raise ValueError(
+                            "string guided_choice needs a tokenizer; "
+                            "send token-id lists"
+                        )
+                    opts.append(tuple(self.tokenizer.encode(c)))
+                else:
+                    opts.append(tuple(int(t) for t in c))
+            import dataclasses as _dc
+
+            params = _dc.replace(params, choices=tuple(opts))
         if params.max_new_tokens == 0 and not echo:
             raise ValueError("max_tokens=0 requires echo=true (scoring)")
         pending = _Pending(

@@ -619,6 +619,7 @@ class Engine:
                     or sampling.frequency_penalty != 0.0
                     or sampling.logit_bias
                     or sampling.min_new_tokens > 0
+                    or sampling.choices
                 )
                 else None
             )
@@ -648,6 +649,12 @@ class Engine:
             else max_new_tokens
             for r in range(len(prompts))
         ]
+        for r in range(len(prompts)):
+            if _sp_for(r).choices:
+                # Guided choice: the budget must cover the longest option.
+                req_budget[r] = max(
+                    req_budget[r], max(len(c) for c in _sp_for(r).choices)
+                )
         assert all(b >= 1 for b in req_budget), (
             "max_new_tokens must be >= 1 for every request"
         )
@@ -757,47 +764,65 @@ class Engine:
         # harmless default — their sampled tokens are discarded anyway.
         slot_sp: List[SamplingParams] = [SamplingParams()] * B
         # Per-slot dense logit-bias rows, device-resident; rows are
-        # replaced at refill (rare) so decode steps upload nothing.
+        # replaced at refill (rare) so plain decode steps upload nothing.
+        # Slots with PROGRESS-DEPENDENT masks (min_new_tokens eos/stop
+        # bans, guided-choice constraints) are "dynamic": their rows are
+        # rebuilt at every host sync from the single source of truth
+        # below (_np_row), so the two mechanisms compose instead of
+        # clobbering each other.
         use_bias = any(
-            p.logit_bias or p.min_new_tokens > 0 for p in sps_all
+            p.logit_bias or p.min_new_tokens > 0 or p.choices
+            for p in sps_all
         )
         slot_bias = (
             jnp.zeros((B, cfg.vocab_size), jnp.float32) if use_bias else None
         )
-        # min_new_tokens: slots still under their request's minimum carry
-        # a -1e9 ban on eos + that request's stop tokens, merged into their
-        # dense bias row; the ban is lifted (row rebuilt without it) at the
-        # host sync where the count crosses the minimum.
-        slot_banned = [False] * B
+        slot_dynamic = [False] * B
 
-        def _bias_rows(sps, reqs=None):
-            rows = np.zeros((len(sps), cfg.vocab_size), np.float32)
-            for i, p in enumerate(sps):
-                for t, bias in p.logit_bias:
-                    rows[i, int(t)] = float(bias)
-                if reqs is not None and p.min_new_tokens > 0:
-                    for t in req_stops[reqs[i]]:
-                        if 0 <= int(t) < cfg.vocab_size:
-                            rows[i, int(t)] = -1e9
-            return jnp.asarray(rows)
+        def _np_row(p: SamplingParams, r: int, gen) -> np.ndarray:
+            """One slot's dense logit-bias row given its progress."""
+            row = np.zeros(cfg.vocab_size, np.float32)
+            for t, bias in p.logit_bias:
+                row[int(t)] = float(bias)
+            if p.min_new_tokens > len(gen):
+                for t in req_stops[r]:
+                    if 0 <= int(t) < cfg.vocab_size:
+                        row[int(t)] = -1e9
+            if p.choices:
+                g = tuple(gen)
+                allowed = {
+                    c[len(g)]
+                    for c in p.choices
+                    if len(c) > len(g) and tuple(c[: len(g)]) == g
+                }
+                new = np.full(cfg.vocab_size, -1e9, np.float32)
+                for t in allowed:
+                    if 0 <= int(t) < cfg.vocab_size:
+                        new[int(t)] = row[int(t)]
+                row = new
+            return row
 
-        def _lift_bans():
-            """Clear the eos/stop ban of slots that reached their minimum
-            (rebuild their row from logit_bias alone)."""
+        def _still_dynamic(p: SamplingParams, gen) -> bool:
+            return bool(p.choices) or p.min_new_tokens > len(gen)
+
+        def _refresh_rows():
+            """Rebuild the rows of active dynamic slots for their current
+            progress (one device scatter; B rows of host work)."""
             nonlocal slot_bias
-            clear = [
-                s
-                for s in range(B)
-                if slot_banned[s]
-                and slot_req[s] != -1
-                and len(slot_generated[s])
-                >= _sp_for(slot_req[s]).min_new_tokens
-            ]
-            if clear:
-                rows = _bias_rows([slot_sp[s] for s in clear])
-                slot_bias = slot_bias.at[jnp.asarray(clear)].set(rows)
-                for s in clear:
-                    slot_banned[s] = False
+            upd = [s for s in range(B) if slot_dynamic[s] and slot_req[s] != -1]
+            if not upd:
+                return
+            rows = np.stack(
+                [
+                    _np_row(slot_sp[s], slot_req[s], slot_generated[s])
+                    for s in upd
+                ]
+            )
+            slot_bias = slot_bias.at[jnp.asarray(upd)].set(jnp.asarray(rows))
+            for s in upd:
+                slot_dynamic[s] = _still_dynamic(
+                    slot_sp[s], slot_generated[s]
+                )
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
@@ -876,14 +901,23 @@ class Engine:
                         chunk_bias = None
                         if slot_bias is not None:
                             chunk_reqs = [r_ for _s, r_, _p, _b in chunk]
-                            chunk_bias = _bias_rows(chunk_sps, chunk_reqs)
+                            chunk_bias = jnp.asarray(
+                                np.stack(
+                                    [
+                                        _np_row(p_, r_, [])
+                                        for p_, r_ in zip(
+                                            chunk_sps, chunk_reqs
+                                        )
+                                    ]
+                                )
+                            )
                             slot_bias = slot_bias.at[
                                 jnp.asarray(slots)
                             ].set(chunk_bias)
                             for (s_, _r2, _p2, _b2), p_ in zip(
                                 chunk, chunk_sps
                             ):
-                                slot_banned[s_] = p_.min_new_tokens > 0
+                                slot_dynamic[s_] = _still_dynamic(p_, [])
                         first = np.asarray(
                             self._sample_perreq(
                                 last_logits,
@@ -920,7 +954,7 @@ class Engine:
 
         refill(None)
         if use_bias:
-            _lift_bans()
+            _refresh_rows()
 
         while any(r != -1 for r in slot_req) or queue:
             # Retire finished slots, then refill.
@@ -932,7 +966,12 @@ class Engine:
                 done_eos = bool(gen) and gen[-1] in req_stops[r]
                 done_len = len(gen) >= req_budget[r]
                 done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
-                if done_eos or done_len or done_ctx:
+                done_choice = bool(_sp_for(r).choices) and (
+                    tuple(gen) in _sp_for(r).choices
+                )
+                if done_choice:
+                    done_eos = False  # the full choice is the output
+                if done_eos or done_len or done_ctx or done_choice:
                     out = gen[:-1] if done_eos else gen
                     lp = slot_logprobs[s][: len(out)] if return_logprobs else None
                     k_r = _sp_for(r).top_logprobs
@@ -942,7 +981,11 @@ class Engine:
                         else None
                     )
                     results[r] = GenerationResult(
-                        list(prompts[r]), out, bool(done_eos), lp, tlp
+                        list(prompts[r]),
+                        out,
+                        bool(done_eos or done_choice),
+                        lp,
+                        tlp,
                     )
                     slot_req[s] = -1
                     slot_generated[s] = []
@@ -950,7 +993,7 @@ class Engine:
                     slot_toplp[s] = []
             refill(None)
             if use_bias:
-                _lift_bans()
+                _refresh_rows()
             if not any(r != -1 for r in slot_req):
                 break
 
@@ -981,7 +1024,7 @@ class Engine:
                 self.spec_k > 0
                 and spec_ok
                 and top_lp_k == 0
-                and not any(slot_banned)
+                and not any(slot_dynamic)
                 and all(r != -1 for r in slot_req)
                 and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
             ):
@@ -1058,9 +1101,12 @@ class Engine:
                 # program); the tail of a budget single-steps.
                 n = self.decode_chunk
                 ban_static = all(
-                    not slot_banned[s]
-                    or len(slot_generated[s]) + n
-                    <= _sp_for(slot_req[s]).min_new_tokens
+                    not slot_dynamic[s]
+                    or (
+                        not slot_sp[s].choices
+                        and len(slot_generated[s]) + n
+                        <= slot_sp[s].min_new_tokens
+                    )
                     for s in range(B)
                 )
                 if rem >= n and ctx_room >= n and ban_static:

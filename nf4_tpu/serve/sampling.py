@@ -49,6 +49,14 @@ class SamplingParams:
     # Generation budget override; None defers to generate()'s
     # max_new_tokens argument.
     max_new_tokens: Optional[int] = None
+    # GUIDED CHOICE: constrain the output to be exactly one of these
+    # token sequences (a tuple of int tuples).  The engine masks each
+    # step's logits to the tokens consistent with some choice (within a
+    # sampling mode: greedy picks the highest-logit allowed token,
+    # stochastic samples among allowed) and finishes at the first full
+    # match.  The request's budget is auto-extended to the longest
+    # choice.  Host-side scheduler field.
+    choices: tuple = ()
     # Suppress end-of-sequence until this many tokens are generated: the
     # engine bans its eos_token and this request's stop tokens (a -1e9
     # dense-bias row, lifted once the count is reached) so short prompts

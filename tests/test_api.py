@@ -401,3 +401,16 @@ class TestEchoScoring:
         url, _ = served
         st, body = _post(url, {"prompt": [1, 2, 3], "max_tokens": 0})
         assert st == 400 and "echo" in body["error"]
+
+
+def test_guided_choice_http(served):
+    url, twin = served
+    # Token-id options through the wire; greedy must return one of them.
+    choices = [[7, 8], [9]]
+    st, body = _post(
+        url,
+        {"prompt": [1, 2, 3], "max_tokens": 4, "guided_choice": choices},
+    )
+    assert st == 200, body
+    assert body["choices"][0]["tokens"] in choices
+    assert body["choices"][0]["finish_reason"] == "stop"

@@ -411,3 +411,73 @@ class TestMinNewTokens:
         )[0]
         assert res.finished, "ban never lifted — ran to budget"
         assert 2 <= len(res.tokens) < 16
+
+
+class TestGuidedChoice:
+    """Guided choice: the output is exactly one of the given token
+    sequences (per-step masks restrict sampling to tokens consistent with
+    a remaining option; the first full match finishes the request)."""
+
+    def test_greedy_output_is_a_choice(self, setup):
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        free = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]], max_new_tokens=6
+        )[0].tokens
+        # Choices deliberately exclude the unconstrained output.
+        choices = ((7, 8, 9), (7, 8, 10, 11), (12,))
+        assert tuple(free[:3]) not in choices
+        res = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]],
+            max_new_tokens=2,  # auto-extended to the longest choice
+            sampling=SamplingParams(choices=choices),
+        )[0]
+        assert tuple(res.tokens) in choices
+        assert res.finished
+
+    def test_shared_prefix_choices(self, setup):
+        """Options sharing a prefix: after the prefix the mask narrows to
+        the continuations, and the FIRST full match wins — so an option
+        that is a strict prefix of another terminates generation there."""
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        choices = ((5, 6), (5, 6, 7))
+        res = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+            [[1, 2, 3]], max_new_tokens=8,
+            sampling=SamplingParams(choices=choices),
+        )[0]
+        assert tuple(res.tokens) == (5, 6)
+
+    def test_stochastic_stays_in_choices(self, setup):
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        choices = ((4, 5), (6,), (7, 8, 9))
+        for seed in range(4):
+            res = Engine(model, CFG, batch_size=1, eos_token=-1).generate(
+                [[2, 3]], max_new_tokens=6,
+                sampling=SamplingParams(
+                    temperature=1.0, seed=seed, choices=choices
+                ),
+            )[0]
+            assert tuple(res.tokens) in choices, (seed, res.tokens)
+
+    def test_mixed_wave_constrained_and_free(self, setup):
+        """One constrained slot next to a free one: the free request is
+        token-identical to its solo run; the constrained one is a choice."""
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        choices = ((9, 8), (7,))
+        prompts = [[1, 2, 3], [4, 5, 6]]
+        sp = [SamplingParams(choices=choices), SamplingParams()]
+        res = Engine(model, CFG, batch_size=2, eos_token=-1).generate(
+            prompts, max_new_tokens=5, sampling=sp
+        )
+        assert tuple(res[0].tokens) in choices
+        solo = Engine(model, CFG, batch_size=2, eos_token=-1).generate(
+            [prompts[1]], max_new_tokens=5
+        )[0]
+        assert res[1].tokens == solo.tokens
