@@ -47,21 +47,39 @@ def _batch_nll(params, tokens, seq_lens, cache, cfg: LlamaConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _batch_token_logp(params, tokens, seq_lens, cache, cfg: LlamaConfig):
+def _batch_token_logp(
+    params, tokens, seq_lens, cache, cfg: LlamaConfig,
+    lora=None, adapter_ids=None,
+):
     """Per-position log P(token_t | prefix) for a padded batch: [B, T-1]
     fp32 (position t-1 predicts t; padding rows are left as-is — the host
-    slices by true length)."""
+    slices by true length).  ``lora``/``adapter_ids``: optional multi-LoRA
+    bank + per-row selection (serve.Engine.score with adapters)."""
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    logits, _ = forward(params, cfg, tokens, cache, positions, seq_lens)
+    logits, _ = forward(
+        params, cfg, tokens, cache, positions, seq_lens,
+        lora=lora, adapter_ids=adapter_ids,
+    )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32)[:, :-1, :], axis=-1)
     targets = tokens[:, 1:]
     return jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
 
 
+def _bucket_len(n: int, cap: int) -> int:
+    """Pad a sequence length to a power-of-two bucket (min 16, capped):
+    bounds the number of compiled (B, T) shapes on serving paths — each
+    novel shape costs a full-model compile (10-40s on the remote-compile
+    rig; see CLAUDE.md)."""
+    b = 16
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
 def token_logprobs(
     params: LlamaParams, cfg: LlamaConfig, sequences: Sequence[Sequence[int]],
-    batch_size: int = 8,
+    batch_size: int = 8, lora=None, adapter_ids=None,
 ) -> list:
     """Teacher-forced per-token log-probabilities for each sequence.
 
@@ -80,16 +98,22 @@ def token_logprobs(
     for i0 in range(0, len(todo), batch_size):
         chunk = todo[i0 : i0 + batch_size]
         B = len(chunk)
-        T = max(len(s) for _, s in chunk)
+        T = _bucket_len(max(len(s) for _, s in chunk), cfg.max_seq_len)
         toks = np.zeros((B, T), dtype=np.int32)
         lens = np.zeros((B,), dtype=np.int32)
         for j, (_, s) in enumerate(chunk):
             toks[j, : len(s)] = s
             lens[j] = len(s)
         cache = init_kv_cache(cfg, B)
+        ids = None
+        if adapter_ids is not None:
+            ids = jnp.asarray(
+                [adapter_ids[i] for i, _ in chunk], dtype=jnp.int32
+            )
         lp = np.asarray(
             _batch_token_logp(
-                params, jnp.asarray(toks), jnp.asarray(lens), cache, cfg
+                params, jnp.asarray(toks), jnp.asarray(lens), cache, cfg,
+                lora=lora, adapter_ids=ids,
             )
         )
         for j, (i, s) in enumerate(chunk):

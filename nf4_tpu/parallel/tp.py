@@ -117,10 +117,10 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
     passed through shard_map (which slices leaves but keeps aux data).
     """
     lp = params.layers
-    assert lp.router is None, (
+    assert lp.router is None or tp == 1, (
         "tensor parallelism over MoE expert weights is not implemented yet "
         "(the [L, E, ...] expert axis needs its own shard layout); serve "
-        "MoE models single-device or data-parallel"
+        "MoE models single-device or data-parallel (mesh with tp=1)"
     )
     new_layers = lp.replace(
         **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},

@@ -169,8 +169,14 @@ class CompletionServer:
 
     def _run_wave(self, wave: List[_Pending]):
         self.stats["waves"] += 1
+        # Scoring-only requests (echo + max_tokens=0) skip generation; the
+        # on_token request indices refer to the FILTERED list the engine
+        # sees, so streams must be keyed on gen_wave positions.
+        gen_wave = [p for p in wave if p.params.max_new_tokens != 0]
         streams = {
-            i: p.stream_q for i, p in enumerate(wave) if p.stream_q is not None
+            i: p.stream_q
+            for i, p in enumerate(gen_wave)
+            if p.stream_q is not None
         }
 
         def on_token(req_idx: int, tok: int):
@@ -181,8 +187,6 @@ class CompletionServer:
         try:
             from .engine import GenerationResult
 
-            # Scoring-only requests (echo + max_tokens=0) skip generation.
-            gen_wave = [p for p in wave if p.params.max_new_tokens != 0]
             for p in wave:
                 if p not in gen_wave:
                     p.result = GenerationResult(list(p.tokens), [], True, [])
@@ -210,7 +214,14 @@ class CompletionServer:
             # teacher-forced pass (engine.score).
             need = [p for p in wave if p.echo and p.logprobs]
             if need:
-                plps = self.engine.score([p.tokens for p in need])
+                plps = self.engine.score(
+                    [p.tokens for p in need],
+                    adapter=(
+                        [p.adapter for p in need]
+                        if any(p.adapter is not None for p in need)
+                        else None
+                    ),
+                )
                 for p, lp in zip(need, plps):
                     p.prompt_logprobs = lp
         except Exception as e:  # surface engine failures to every waiter
@@ -267,6 +278,16 @@ class CompletionServer:
             adapter_idx = self.adapters[model]
         echo = bool(body.get("echo", False))
         params = _params_from_body(body, seed_offset)
+        if not 0 <= params.top_logprobs <= 20:
+            # OpenAI caps alternatives (5 classic / 20 chat); an unbounded
+            # k would crash top_k inside the wave and fail co-batched
+            # requests.
+            raise ValueError("logprobs/top_logprobs must be in [0, 20]")
+        if echo and len(tokens) > self.engine.cfg.max_seq_len:
+            raise ValueError(
+                f"prompt length {len(tokens)} exceeds the model context "
+                f"{self.engine.cfg.max_seq_len}"
+            )
         gc = body.get("guided_choice")
         if gc:
             # vLLM-style guided choice: each option is a token-id list, or
@@ -367,6 +388,16 @@ class CompletionServer:
                 + list(p.prompt_logprobs or [])
                 + list(r.logprobs or [])
             }
+            if r.top_logprobs is not None:
+                def key(t):
+                    txt = self._decode_text([t])
+                    return txt if txt is not None else str(t)
+
+                # Alternatives are computed for GENERATED positions only;
+                # prompt positions carry null placeholders.
+                lp_block["top_logprobs"] = [None] * (
+                    len(p.tokens)
+                ) + [{key(t): v for t, v in row} for row in r.top_logprobs]
             choice["logprobs"] = lp_block
             return choice
         if r.logprobs is not None and p.logprobs:

@@ -784,11 +784,12 @@ class Engine:
             row = np.zeros(cfg.vocab_size, np.float32)
             for t, bias in p.logit_bias:
                 row[int(t)] = float(bias)
-            if p.min_new_tokens > len(gen):
-                for t in req_stops[r]:
-                    if 0 <= int(t) < cfg.vocab_size:
-                        row[int(t)] = -1e9
             if p.choices:
+                # The choice mask SUBSUMES the min-token ban: allowed
+                # continuations keep their plain logit_bias value even if
+                # they are stop tokens (otherwise a stop-valued
+                # continuation would make every vocab entry -1e9 and the
+                # constraint would silently collapse).
                 g = tuple(gen)
                 allowed = {
                     c[len(g)]
@@ -799,7 +800,11 @@ class Engine:
                 for t in allowed:
                     if 0 <= int(t) < cfg.vocab_size:
                         new[int(t)] = row[int(t)]
-                row = new
+                return new
+            if p.min_new_tokens > len(gen):
+                for t in req_stops[r]:
+                    if 0 <= int(t) < cfg.vocab_size:
+                        row[int(t)] = -1e9
             return row
 
         def _still_dynamic(p: SamplingParams, gen) -> bool:
@@ -963,14 +968,19 @@ class Engine:
                 if r == -1:
                     continue
                 gen = slot_generated[s]
-                done_eos = bool(gen) and gen[-1] in req_stops[r]
+                # Guided choice disables stop-token termination entirely:
+                # a stop id may BE part of a choice; the only finishers
+                # are a full match (or budget/context).
+                done_eos = (
+                    bool(gen)
+                    and gen[-1] in req_stops[r]
+                    and not _sp_for(r).choices
+                )
                 done_len = len(gen) >= req_budget[r]
                 done_ctx = slot_pos[s] >= cfg.max_seq_len - 1
                 done_choice = bool(_sp_for(r).choices) and (
                     tuple(gen) in _sp_for(r).choices
                 )
-                if done_choice:
-                    done_eos = False  # the full choice is the output
                 if done_eos or done_len or done_ctx or done_choice:
                     out = gen[:-1] if done_eos else gen
                     lp = slot_logprobs[s][: len(out)] if return_logprobs else None
@@ -1238,19 +1248,32 @@ class Engine:
 
         return [r for r in results if r is not None]
 
-    def score(self, prompts, batch_size: Optional[int] = None):
+    def score(self, prompts, batch_size: Optional[int] = None, adapter=None):
         """Teacher-forced per-token log-probabilities of given sequences
         (no generation): one list per prompt, entry i = log P(tok[i+1] |
         tok[:i+1]).  The scoring idiom behind OpenAI completions'
         ``echo=true, max_tokens=0``; the same fp32 math as eval.ppl.
-        Single-device engines only (score a TP-served model through
-        eval.ppl on a localized copy)."""
+        ``adapter`` (multi-LoRA engines): one bank index or None per
+        prompt — scores run through the SAME adapter that would serve
+        the request.  Single-device engines only (score a TP-served
+        model through eval.ppl on a localized copy)."""
         assert self.mesh is None, "score() is single-device only"
         from ..eval.ppl import token_logprobs
 
-        params = self.params[0] if self._bank is not None else self.params
+        if self._bank is not None:
+            params = self.params[0]
+            ids = [
+                -1 if (adapter is None or adapter[i] is None) else int(adapter[i])
+                for i in range(len(prompts))
+            ]
+            return token_logprobs(
+                params, self.cfg, prompts,
+                batch_size=batch_size or self.batch_size,
+                lora=self._bank, adapter_ids=ids,
+            )
+        assert adapter is None, "adapter= needs Engine(lora_bank=...)"
         return token_logprobs(
-            params, self.cfg, prompts,
+            self.params, self.cfg, prompts,
             batch_size=batch_size or self.batch_size,
         )
 

@@ -414,3 +414,71 @@ def test_guided_choice_http(served):
     assert st == 200, body
     assert body["choices"][0]["tokens"] in choices
     assert body["choices"][0]["finish_reason"] == "stop"
+
+
+class TestWaveCompositionFixes:
+    """Regression tests: scoring-only requests sharing a wave with
+    streaming/generating requests must not shift stream routing, and
+    invalid wire parameters 400 at submit instead of failing the wave."""
+
+    def test_streaming_next_to_scoring_request(self, served):
+        """A scoring request (echo+max_tokens=0) ahead of a streaming
+        request in the same wave: the stream must still deliver the
+        generated tokens (indices are gen-wave positions)."""
+        url, twin = served
+        import queue as _q
+
+        from nf4_tpu.serve.api import CompletionServer
+
+        # Drive the server object directly so both requests land in ONE
+        # wave deterministically.
+        server = CompletionServer(twin)
+        score_p = server.submit(
+            {"prompt": [1, 2, 3], "max_tokens": 0, "echo": True,
+             "logprobs": True}
+        )
+        stream_p = server.submit(
+            {"prompt": [4, 5, 6], "max_tokens": 4, "stream": True}
+        )
+        server._run_wave([score_p, stream_p])
+        got = []
+        while True:
+            t = stream_p.stream_q.get(timeout=5)
+            if t is None:
+                break
+            got.append(t)
+        assert got == stream_p.result.tokens and len(got) == 4
+        assert score_p.result.tokens == []
+        assert len(score_p.prompt_logprobs) == 2
+
+    def test_oversized_top_logprobs_rejected(self, served):
+        url, _ = served
+        st, body = _post(
+            url, {"prompt": [1, 2, 3], "max_tokens": 2, "logprobs": 99999}
+        )
+        assert st == 400 and "top_logprobs" in body["error"]
+
+    def test_scoring_prompt_too_long_rejected(self, served):
+        url, twin = served
+        too_long = list(range(twin.cfg.max_seq_len + 5))
+        st, body = _post(
+            url,
+            {"prompt": [t % 250 for t in too_long], "max_tokens": 0,
+             "echo": True, "logprobs": True},
+        )
+        assert st == 400 and "context" in body["error"]
+
+    def test_echo_with_top_logprobs(self, served):
+        url, _ = served
+        st, body = _post(
+            url,
+            {"prompt": [1, 2, 3], "max_tokens": 3, "echo": True,
+             "logprobs": 2},
+        )
+        assert st == 200, body
+        lp = body["choices"][0]["logprobs"]
+        assert len(lp["token_logprobs"]) == 6
+        tops = lp["top_logprobs"]
+        assert len(tops) == 6
+        assert tops[:3] == [None, None, None]
+        assert all(len(row) == 2 for row in tops[3:])

@@ -481,3 +481,21 @@ class TestGuidedChoice:
             [prompts[1]], max_new_tokens=5
         )[0]
         assert res[1].tokens == solo.tokens
+
+
+class TestGuidedChoiceWithBans:
+    def test_choice_overrides_min_token_ban(self, setup):
+        """A choice whose continuation IS a stop token must stay
+        reachable even under min_new_tokens (the collapse bug: both
+        mechanisms writing -1e9 to the same row)."""
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        choices = ((7, 9),)
+        res = Engine(model, CFG, batch_size=1, eos_token=7).generate(
+            [[1, 2, 3]],
+            max_new_tokens=4,
+            sampling=SamplingParams(choices=choices, min_new_tokens=2),
+        )[0]
+        assert tuple(res.tokens) == (7, 9)
+        assert res.finished
