@@ -159,6 +159,8 @@ def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
         fields[k] = P(None, None)
     if lp.qkv_bias is not None:
         fields["qkv_bias"] = P(None, axis)  # column-parallel like wqkv rows
+    if lp.router is not None:
+        fields["router"] = P(None, None, None)  # [L, E, H] replicated
     from ..ops.int8_serve import PackedInt8
 
     if isinstance(params.lm_head, PackedNF4):

@@ -332,3 +332,28 @@ class TestMoETPGuard:
             localize_params(model, 2)
         with pytest.raises(AssertionError, match="MoE"):
             repack_tp(model, CFG, 2)
+
+
+class TestMoEDataParallel:
+    def test_dp_only_mesh_serves_moe(self, model):
+        """MoE over a dp-only mesh (tp=1): decode slots shard over dp,
+        expert weights replicate — token-identical to single-device."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from nf4_tpu.parallel.mesh import make_mesh
+
+        prompts = [[1, 2, 3], [4, 5]]
+        want = [
+            r.tokens
+            for r in Engine(model, CFG, batch_size=2, eos_token=-1).generate(
+                prompts, max_new_tokens=4
+            )
+        ]
+        mesh = make_mesh(tp=1, dp=2)
+        got = [
+            r.tokens
+            for r in Engine(
+                model, CFG, batch_size=2, eos_token=-1, mesh=mesh
+            ).generate(prompts, max_new_tokens=4)
+        ]
+        assert got == want

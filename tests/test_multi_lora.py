@@ -284,3 +284,21 @@ class TestMultiLoraHTTP:
             assert st == 400 and "unknown model" in body["error"]
         finally:
             server.stop()
+
+
+class TestScoreWithAdapter:
+    def test_score_honors_adapter(self, model):
+        """Engine.score(adapter=[i]) scores through adapter i: it must
+        match token_logprobs on the banked forward and DIFFER from the
+        base model's scores."""
+        from nf4_tpu.eval.ppl import token_logprobs
+
+        bank = _adapters(2)
+        eng = Engine(model, CFG, batch_size=2, eos_token=-1, lora_bank=bank)
+        seqs = [[1, 2, 3, 4, 5], [6, 7, 8]]
+        with_a = eng.score(seqs, adapter=[0, None])
+        base = eng.score(seqs)
+        # Row 1 had no adapter: identical to base.
+        np.testing.assert_allclose(with_a[1], base[1], rtol=1e-6)
+        # Row 0 went through adapter 0: different scores.
+        assert not np.allclose(with_a[0], base[0], rtol=1e-4)
