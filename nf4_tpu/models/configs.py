@@ -114,6 +114,22 @@ LLAMA3_8B = LlamaConfig(
     max_seq_len=8192,
 )
 
+# Phi-3-mini-128k: fused qkv/gate_up checkpoint keys + "longrope"
+# scaling (per-dim factor arrays, 4k original context).  The factor
+# arrays live in the checkpoint's config.json; this entry carries the
+# shape/topology, hf_config_to_llama fills rope_scaling on load.
+PHI3_MINI = LlamaConfig(
+    vocab_size=32064,
+    hidden_size=3072,
+    intermediate_size=8192,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=32,
+    head_dim=96,
+    rope_theta=10000.0,
+    max_seq_len=131072,
+)
+
 # Tiny MoE config for tests (Mixtral-style routing at toy scale).
 TINY_MOE = LlamaConfig(
     vocab_size=256,
@@ -181,6 +197,7 @@ _REGISTRY = {
     "llama3-8b": LLAMA3_8B,
     "llama3.1-8b": LLAMA3_1_8B,
     "tiny-moe": TINY_MOE,
+    "phi3-mini": PHI3_MINI,
     "mixtral-8x7b": MIXTRAL_8X7B,
     "llama3-70b": LLAMA3_70B,
 }

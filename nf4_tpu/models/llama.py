@@ -67,8 +67,12 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     # RoPE frequency scaling for long-context checkpoints, as a hashable
     # tuple: ("llama3", factor, low_freq_factor, high_freq_factor,
-    # original_max_position_embeddings) — the Llama-3.1/3.2 scheme — or
-    # ("linear", factor).  None = unscaled.
+    # original_max_position_embeddings) — the Llama-3.1/3.2 scheme;
+    # ("linear", factor); or ("longrope", short_factors, long_factors,
+    # original_max_position_embeddings) — the Phi-3 scheme (per-dim
+    # factor tuples; the table picks short vs long by whether
+    # max_seq_len exceeds the original context, and cos/sin scale by
+    # sqrt(1 + ln(factor)/ln(orig))).  None = unscaled.
     rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 2048
@@ -472,7 +476,27 @@ def _scaled_inv_freq(cfg: LlamaConfig) -> jax.Array:
         return jnp.where(
             wavelen < high_wl, inv_freq, jnp.where(wavelen > low_wl, scaled, mid)
         )
-    raise ValueError(f"unknown rope_scaling kind {kind!r}; llama3|linear")
+    if kind == "longrope":
+        _, short, long, orig = cfg.rope_scaling
+        factors = long if cfg.max_seq_len > orig else short
+        return inv_freq / jnp.asarray(factors, jnp.float32)
+    raise ValueError(
+        f"unknown rope_scaling kind {kind!r}; llama3|linear|longrope"
+    )
+
+
+def _rope_attn_scale(cfg: LlamaConfig) -> float:
+    """Phi-3 longrope multiplies cos/sin by sqrt(1 + ln(scale)/ln(orig))
+    (HF's computed attention_factor); 1.0 for every other scheme."""
+    if cfg.rope_scaling is None or cfg.rope_scaling[0] != "longrope":
+        return 1.0
+    orig = cfg.rope_scaling[3]
+    scale = cfg.max_seq_len / orig
+    if scale <= 1.0:
+        return 1.0
+    import math
+
+    return math.sqrt(1.0 + math.log(scale) / math.log(orig))
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -480,6 +504,9 @@ def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.
     inv_freq = _scaled_inv_freq(cfg)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
     emb = jnp.concatenate([angles, angles], axis=-1)  # [..., D]
+    m = _rope_attn_scale(cfg)
+    if m != 1.0:
+        return jnp.cos(emb) * jnp.float32(m), jnp.sin(emb) * jnp.float32(m)
     return jnp.cos(emb), jnp.sin(emb)
 
 

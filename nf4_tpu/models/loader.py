@@ -49,8 +49,16 @@ def _parse_rope_scaling(rs):
             float(rs["high_freq_factor"]),
             int(rs["original_max_position_embeddings"]),
         )
+    if kind == "longrope":
+        return (
+            "longrope",
+            tuple(float(f) for f in rs["short_factor"]),
+            tuple(float(f) for f in rs["long_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        )
     raise ValueError(
-        f"unsupported rope_scaling type {kind!r} (supported: llama3, linear)"
+        f"unsupported rope_scaling type {kind!r} "
+        "(supported: llama3, linear, longrope)"
     )
 
 
@@ -219,18 +227,37 @@ def load_hf_llama(
                 me = _HF_EXPERT_RE.match(sub)
                 if me:
                     ours = f"expert{int(me.group(1))}.{_EXPERT_W[me.group(2)]}"
-            if ours is None or idx >= cfg.num_layers:
+            # Phi-3 ships q/k/v and gate/up PRE-FUSED (plain [q;k;v] /
+            # [gate;up] row concat); split here so the pack-time
+            # tp-interleaved fusion sees separate tensors.
+            pieces = None
+            if ours is not None:
+                pieces = {ours: tensor}
+            elif sub == "self_attn.qkv_proj.weight":
+                q_dim = cfg.num_heads * cfg.head_dim
+                kv_dim = cfg.num_kv_heads * cfg.head_dim
+                pieces = {
+                    "wq": tensor[:q_dim],
+                    "wk": tensor[q_dim : q_dim + kv_dim],
+                    "wv": tensor[q_dim + kv_dim :],
+                }
+            elif sub == "mlp.gate_up_proj.weight":
+                inter = tensor.shape[0] // 2
+                pieces = {"w_gate": tensor[:inter], "w_up": tensor[inter:]}
+            if pieces is None or idx >= cfg.num_layers:
                 continue
             lw = layer_weights.setdefault(idx, {})
-            lw[ours] = tensor
+            lw.update(pieces)
             dense_bytes += tensor.nbytes
             total_dense += tensor.nbytes
             peak_dense = max(peak_dense, dense_bytes)
             if required <= set(lw):
                 # Layer complete: quantize NOW and free the dense tensors.
                 built[idx] = quantize_layer(lw, cfg)
-                for a in lw.values():
-                    dense_bytes -= a.nbytes
+                dense_bytes -= tensor.nbytes
+                for name, a in lw.items():
+                    if name not in pieces:
+                        dense_bytes -= a.nbytes
                 del layer_weights[idx]
 
     if embed is None or final_norm is None:
