@@ -368,6 +368,12 @@ class CompletionServer:
             return None
         return self.tokenizer.decode(list(ids))
 
+    def _token_key(self, t: int) -> str:
+        """Dict key for one token in top_logprobs rows: its decoded text,
+        or the stringified id without a tokenizer."""
+        txt = self._decode_text([t])
+        return txt if txt is not None else str(t)
+
     def _choice(self, p: _Pending, index: int) -> Dict[str, Any]:
         r = p.result
         out_tokens = (list(p.tokens) if p.echo else []) + list(r.tokens)
@@ -389,29 +395,21 @@ class CompletionServer:
                 + list(r.logprobs or [])
             }
             if r.top_logprobs is not None:
-                def key(t):
-                    txt = self._decode_text([t])
-                    return txt if txt is not None else str(t)
-
                 # Alternatives are computed for GENERATED positions only;
                 # prompt positions carry null placeholders.
-                lp_block["top_logprobs"] = [None] * (
-                    len(p.tokens)
-                ) + [{key(t): v for t, v in row} for row in r.top_logprobs]
+                lp_block["top_logprobs"] = [None] * len(p.tokens) + [
+                    {self._token_key(t): v for t, v in row}
+                    for row in r.top_logprobs
+                ]
             choice["logprobs"] = lp_block
             return choice
         if r.logprobs is not None and p.logprobs:
             lp_block: Dict[str, Any] = {"token_logprobs": list(r.logprobs)}
             if r.top_logprobs is not None:
                 # OpenAI shape: one {token: logprob} dict per position.
-                # Keys are decoded token strings with a tokenizer, else
-                # stringified token ids.
-                def key(t):
-                    txt = self._decode_text([t])
-                    return txt if txt is not None else str(t)
-
                 lp_block["top_logprobs"] = [
-                    {key(t): v for t, v in row} for row in r.top_logprobs
+                    {self._token_key(t): v for t, v in row}
+                    for row in r.top_logprobs
                 ]
             choice["logprobs"] = lp_block
         return choice

@@ -778,6 +778,16 @@ class Engine:
             jnp.zeros((B, cfg.vocab_size), jnp.float32) if use_bias else None
         )
         slot_dynamic = [False] * B
+        # Cache key of each slot's last-uploaded row: min-ban rows are
+        # CONSTANT until the crossing (key = banned?), choice rows change
+        # with every emitted token (key = progress) — skipping unchanged
+        # rows keeps the per-step host work O(choice slots), not O(B*V).
+        slot_rowkey = [None] * B
+
+        def _row_key(p: SamplingParams, gen):
+            if p.choices:
+                return ("choice", len(gen))
+            return ("ban", p.min_new_tokens > len(gen))
 
         def _np_row(p: SamplingParams, r: int, gen) -> np.ndarray:
             """One slot's dense logit-bias row given its progress."""
@@ -811,23 +821,33 @@ class Engine:
             return bool(p.choices) or p.min_new_tokens > len(gen)
 
         def _refresh_rows():
-            """Rebuild the rows of active dynamic slots for their current
-            progress (one device scatter; B rows of host work)."""
+            """Rebuild the rows of active dynamic slots whose mask CONTENT
+            changed since the last upload (one device scatter)."""
             nonlocal slot_bias
-            upd = [s for s in range(B) if slot_dynamic[s] and slot_req[s] != -1]
-            if not upd:
-                return
-            rows = np.stack(
-                [
-                    _np_row(slot_sp[s], slot_req[s], slot_generated[s])
-                    for s in upd
-                ]
-            )
-            slot_bias = slot_bias.at[jnp.asarray(upd)].set(jnp.asarray(rows))
-            for s in upd:
-                slot_dynamic[s] = _still_dynamic(
-                    slot_sp[s], slot_generated[s]
+            upd = [
+                s
+                for s in range(B)
+                if slot_dynamic[s]
+                and slot_req[s] != -1
+                and _row_key(slot_sp[s], slot_generated[s]) != slot_rowkey[s]
+            ]
+            if upd:
+                rows = np.stack(
+                    [
+                        _np_row(slot_sp[s], slot_req[s], slot_generated[s])
+                        for s in upd
+                    ]
                 )
+                slot_bias = slot_bias.at[jnp.asarray(upd)].set(
+                    jnp.asarray(rows)
+                )
+                for s in upd:
+                    slot_rowkey[s] = _row_key(slot_sp[s], slot_generated[s])
+            for s in range(B):
+                if slot_dynamic[s] and slot_req[s] != -1:
+                    slot_dynamic[s] = _still_dynamic(
+                        slot_sp[s], slot_generated[s]
+                    )
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
@@ -923,6 +943,7 @@ class Engine:
                                 chunk, chunk_sps
                             ):
                                 slot_dynamic[s_] = _still_dynamic(p_, [])
+                                slot_rowkey[s_] = _row_key(p_, [])
                         first = np.asarray(
                             self._sample_perreq(
                                 last_logits,
