@@ -114,6 +114,49 @@ LLAMA3_8B = LlamaConfig(
     max_seq_len=8192,
 )
 
+# Tiny Gemma-2-style config for tests (softcapping, 4-norm blocks,
+# alternating local/global attention).
+TINY_GEMMA2 = LlamaConfig(
+    vocab_size=256,
+    hidden_size=128,
+    intermediate_size=256,
+    num_layers=4,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=32,
+    max_seq_len=64,
+    activation="gelu_tanh",
+    rmsnorm_one_plus=True,
+    scale_embeddings=True,
+    attn_logit_softcapping=50.0,
+    final_logit_softcapping=30.0,
+    query_pre_attn_scalar=64.0,
+    sliding_window=16,
+    sliding_window_pattern=2,
+)
+
+# Gemma-2-9B (4-norm blocks, tanh softcapping, alternating 4k local /
+# global attention every other layer).
+GEMMA2_9B = LlamaConfig(
+    vocab_size=256000,
+    hidden_size=3584,
+    intermediate_size=14336,
+    num_layers=42,
+    num_heads=16,
+    num_kv_heads=8,
+    head_dim=256,
+    rope_theta=10000.0,
+    max_seq_len=8192,
+    activation="gelu_tanh",
+    rmsnorm_one_plus=True,
+    scale_embeddings=True,
+    attn_logit_softcapping=50.0,
+    final_logit_softcapping=30.0,
+    query_pre_attn_scalar=256.0,
+    sliding_window=4096,
+    sliding_window_pattern=2,
+)
+
 # Phi-3-mini-128k: fused qkv/gate_up checkpoint keys + "longrope"
 # scaling (per-dim factor arrays, 4k original context).  The factor
 # arrays live in the checkpoint's config.json; this entry carries the
@@ -198,6 +241,8 @@ _REGISTRY = {
     "llama3.1-8b": LLAMA3_1_8B,
     "tiny-moe": TINY_MOE,
     "phi3-mini": PHI3_MINI,
+    "tiny-gemma2": TINY_GEMMA2,
+    "gemma2-9b": GEMMA2_9B,
     "mixtral-8x7b": MIXTRAL_8X7B,
     "llama3-70b": LLAMA3_70B,
 }

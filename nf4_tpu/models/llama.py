@@ -115,6 +115,25 @@ class LlamaConfig:
     # num_experts=1 is the plain dense MLP.
     num_experts: int = 1
     experts_per_token: int = 2
+    # Gemma-2 conventions (all optional / off by default):
+    # tanh logit softcapping on attention scores and on final logits,
+    # a query scale of query_pre_attn_scalar**-0.5 instead of
+    # head_dim**-0.5, and alternating local/global attention —
+    # sliding_window_pattern=N makes every Nth layer global
+    # (layer i is windowed iff i % N != N-1; Gemma-2 uses N=2).
+    attn_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window_pattern: int = 1
+
+    @property
+    def attn_scale(self) -> float:
+        base = (
+            self.query_pre_attn_scalar
+            if self.query_pre_attn_scalar is not None
+            else self.head_dim
+        )
+        return float(base) ** -0.5
 
     @property
     def q_dim(self) -> int:
@@ -154,6 +173,13 @@ class LayerParams:
     # MoE router [num_experts, hidden] (dense — it is tiny and the route
     # decision is precision-sensitive).  None for dense-MLP models.
     router: Optional[jax.Array] = None
+    # Gemma-2 sublayer-OUTPUT norms, applied to the attention / MLP
+    # result before its residual add (HF post_attention_layernorm /
+    # post_feedforward_layernorm — note Gemma-2's MLP PRE-norm, HF's
+    # pre_feedforward_layernorm, maps onto this struct's post_attn_norm,
+    # which has always been the MLP pre-norm here).  None for non-Gemma-2.
+    post_attn_out_norm: Optional[jax.Array] = None
+    post_ffw_norm: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -300,7 +326,15 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
             )
         )
         gu, dn, router = mlp_weights()
-        layers[-1] = layers[-1].replace(w_gateup=gu, w_down=dn, router=router)
+        extra = {}
+        if cfg.attn_logit_softcapping is not None:  # Gemma-2 block shape
+            extra = dict(
+                post_attn_out_norm=jnp.ones((h,), dtype=jnp.float32),
+                post_ffw_norm=jnp.ones((h,), dtype=jnp.float32),
+            )
+        layers[-1] = layers[-1].replace(
+            w_gateup=gu, w_down=dn, router=router, **extra
+        )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return LlamaParams(
         embed=jnp.asarray(
@@ -371,6 +405,16 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
         post_attn_norm=jnp.asarray(lw["post_attn_norm"], dtype=jnp.float32),
         qkv_bias=qkv_bias,
         router=router,
+        post_attn_out_norm=(
+            jnp.asarray(lw["post_attn_out_norm"], dtype=jnp.float32)
+            if "post_attn_out_norm" in lw
+            else None
+        ),
+        post_ffw_norm=(
+            jnp.asarray(lw["post_ffw_norm"], dtype=jnp.float32)
+            if "post_ffw_norm" in lw
+            else None
+        ),
     )
 
 
@@ -497,6 +541,26 @@ def _rope_attn_scale(cfg: LlamaConfig) -> float:
     import math
 
     return math.sqrt(1.0 + math.log(scale) / math.log(orig))
+
+
+def _layer_windows(cfg: LlamaConfig) -> Optional[jax.Array]:
+    """Per-layer sliding windows [L] for alternating local/global
+    attention (Gemma-2), or None when every layer uses the static
+    cfg.sliding_window.  Global layers get a window larger than any
+    context — the same visibility as no window."""
+    if cfg.sliding_window_pattern <= 1 or cfg.sliding_window is None:
+        return None
+    i = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    pat = cfg.sliding_window_pattern
+    return jnp.where(
+        i % pat != pat - 1,
+        jnp.int32(cfg.sliding_window),
+        jnp.int32(cfg.max_seq_len + 1),
+    )
+
+
+def _softcap(logits: jax.Array, cap: Optional[float]) -> jax.Array:
+    return logits if cap is None else jnp.tanh(logits / cap) * cap
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -633,6 +697,7 @@ def _layer_forward(
     train: bool = False,
     segment_ids=None,
     adapter_ids=None,  # [B] int32 — banked multi-LoRA row selection
+    window=None,  # per-layer sliding window (traced; Gemma-2 alternation)
 ):
     """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
@@ -683,11 +748,12 @@ def _layer_forward(
         # cache buffers, no int8 KV rounding, differentiable paths only.
         attn = attention(
             q, k, v, positions, seq_lens,
-            scale=cfg.head_dim**-0.5,
-            sliding_window=cfg.sliding_window,
+            scale=cfg.attn_scale,
+            sliding_window=window if window is not None else cfg.sliding_window,
             contiguous_positions=True,
             differentiable=True,
             segment_ids=segment_ids,
+            logit_softcap=cfg.attn_logit_softcapping,
         )
     else:
         if cfg.kv_quant:
@@ -711,10 +777,11 @@ def _layer_forward(
             layer_cache.v,
             positions,
             seq_lens,
-            scale=cfg.head_dim**-0.5,
-            sliding_window=cfg.sliding_window,
+            scale=cfg.attn_scale,
+            sliding_window=window if window is not None else cfg.sliding_window,
             k_scale=layer_cache.k_scale,
             v_scale=layer_cache.v_scale,
+            logit_softcap=cfg.attn_logit_softcapping,
             # Every position tensor this package builds is offset + arange per
             # row (prefill, chunked prefill, engine buckets, decode, eval).
             contiguous_positions=True,
@@ -728,15 +795,22 @@ def _layer_forward(
     # one psum reduces both (identity reduce_fn single-device — same math).
     # Without adapters the projection keeps its collective-matmul option
     # (_reduced_matmul + NF4TPU_COLLECTIVE_MATMUL).
+    def _post(t, w):
+        """Gemma-2 sublayer-output RMSNorm before the residual add."""
+        if w is None:
+            return t
+        return rms_norm(t, w, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
+
     if ll is not None and ll.o is not None:
         o_proj = _add_delta(
             _matmul(attn, lp.wo, out_dtype=jnp.float32),
             _lora_delta(attn, ll.o, adapter_ids),
         )
-        x = x + reduce_fn(o_proj).astype(x.dtype)
+        x = x + _post(reduce_fn(o_proj), lp.post_attn_out_norm).astype(x.dtype)
     else:
-        x = x + _reduced_matmul(
-            attn, lp.wo, reduce_fn, out_dtype=jnp.float32
+        x = x + _post(
+            _reduced_matmul(attn, lp.wo, reduce_fn, out_dtype=jnp.float32),
+            lp.post_attn_out_norm,
         ).astype(x.dtype)
 
     mlp_in = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
@@ -756,7 +830,9 @@ def _layer_forward(
             "LoRA on MoE expert MLPs is not supported — adapt the "
             "attention projections (targets=('wqkv', 'wo'))"
         )
-        x = x + _moe_mlp(cfg, mlp_in, lp, act, reduce_fn).astype(x.dtype)
+        x = x + _post(
+            _moe_mlp(cfg, mlp_in, lp, act, reduce_fn), lp.post_ffw_norm
+        ).astype(x.dtype)
         return x, layer_cache
 
     gateup = _matmul(mlp_in, lp.w_gateup)  # ONE kernel for gate+up
@@ -771,10 +847,11 @@ def _layer_forward(
             _matmul(h, lp.w_down, out_dtype=jnp.float32),
             _lora_delta(h, ll.down, adapter_ids),
         )
-        x = x + reduce_fn(down).astype(x.dtype)
+        x = x + _post(reduce_fn(down), lp.post_ffw_norm).astype(x.dtype)
     else:
-        x = x + _reduced_matmul(
-            h, lp.w_down, reduce_fn, out_dtype=jnp.float32
+        x = x + _post(
+            _reduced_matmul(h, lp.w_down, reduce_fn, out_dtype=jnp.float32),
+            lp.post_ffw_norm,
         ).astype(x.dtype)
     return x, layer_cache
 
@@ -887,18 +964,21 @@ def forward(
     # tensor is never materialized.
 
     def body(x, layer):
-        lp, layer_cache, ll = layer
+        lp, layer_cache, ll, window = layer
         x, layer_cache = _layer_forward(
             cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn,
-            ll=ll, adapter_ids=adapter_ids,
+            ll=ll, adapter_ids=adapter_ids, window=window,
         )
         return x, layer_cache
 
     # The KVCache struct scans as a pytree: every leaf (k/v and, when
     # quantized, the scale arrays) carries the leading layer axis.  A None
-    # lora is an empty subtree — scan passes it through untouched.
+    # lora is an empty subtree — scan passes it through untouched; so is a
+    # None per-layer window vector (uniform-window models).
     lora_layers = None if lora is None else lora.layers
-    x, new_cache = jax.lax.scan(body, x, (params.layers, cache, lora_layers))
+    x, new_cache = jax.lax.scan(
+        body, x, (params.layers, cache, lora_layers, _layer_windows(cfg))
+    )
 
     if last_only:
         # Row index of each sequence's last written token within this call.
@@ -913,7 +993,7 @@ def forward(
         logits = jnp.dot(
             x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
         )
-    return logits, new_cache
+    return _softcap(logits, cfg.final_logit_softcapping), new_cache
 
 
 def train_forward(
@@ -954,24 +1034,29 @@ def train_forward(
     cos, sin = rope_tables(cfg, slot_ids if positions is None else positions)
 
     def body(x, layer):
-        lp, ll = layer
+        lp, ll, window = layer
         x, _ = _layer_forward(
             cfg, x, lp, None, slot_ids, seq_lens, cos, sin,
             reduce_fn=reduce_fn, ll=ll, train=True, segment_ids=segment_ids,
+            window=window,
         )
         return x, None
 
     if remat:
         body = jax.checkpoint(body)
     lora_layers = None if lora is None else lora.layers
-    x, _ = jax.lax.scan(body, x, (params.layers, lora_layers))
+    x, _ = jax.lax.scan(
+        body, x, (params.layers, lora_layers, _layer_windows(cfg))
+    )
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
     if isinstance(params.lm_head, jax.Array):
-        return jnp.dot(
+        logits = jnp.dot(
             x, params.lm_head.T.astype(x.dtype), preferred_element_type=jnp.float32
         )
-    return _matmul(x, params.lm_head, out_dtype=jnp.float32)
+    else:
+        logits = _matmul(x, params.lm_head, out_dtype=jnp.float32)
+    return _softcap(logits, cfg.final_logit_softcapping)
 
 
 def prefill(params, cfg, tokens, cache=None):

@@ -92,7 +92,22 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
     # gelu (exact); anything else gelu-like is an error rather than a silent
     # approximation swap.
     act = hf.get("hidden_act") or hf.get("hidden_activation") or ""
-    is_gemma = hf.get("model_type") == "gemma"
+    is_gemma = hf.get("model_type") in ("gemma", "gemma2")
+    if hf.get("model_type") == "gemma2":
+        kwargs.update(
+            attn_logit_softcapping=float(
+                hf.get("attn_logit_softcapping") or 50.0
+            ),
+            final_logit_softcapping=float(
+                hf.get("final_logit_softcapping") or 30.0
+            ),
+            query_pre_attn_scalar=float(
+                hf.get("query_pre_attn_scalar")
+                or hf["hidden_size"] / hf["num_attention_heads"]
+            ),
+            # Gemma-2 alternates local/global attention every other layer.
+            sliding_window_pattern=2,
+        )
     if is_gemma or "gelu" in act:
         # HF naming: gelu_pytorch_tanh / gelu_tanh / gelu_new / gelu_fast are
         # all tanh-family approximations; bare "gelu" / "gelu_python" are the
@@ -190,6 +205,13 @@ def load_hf_llama(
     required = set(_HF_TO_OURS.values())
     if not cfg.attn_bias:
         required -= _BIAS_KEYS
+    # Gemma-2 blocks carry FOUR norms; crucially HF's
+    # post_attention_layernorm is the attention-OUTPUT norm there, while
+    # this struct's post_attn_norm has always been the MLP PRE-norm
+    # (= Gemma-2's pre_feedforward_layernorm).
+    gemma2 = cfg.attn_logit_softcapping is not None
+    if gemma2:
+        required |= {"post_attn_out_norm", "post_ffw_norm"}
     if cfg.num_experts > 1:
         # MoE checkpoints have per-expert MLP tensors instead of the
         # dense mlp.* keys, plus the router.
@@ -222,7 +244,19 @@ def load_hf_llama(
             if not m:
                 continue
             idx, sub = int(m.group(1)), m.group(2)
+            if gemma2:
+                sub = {
+                    "post_attention_layernorm.weight": "__post_attn_out__",
+                    "pre_feedforward_layernorm.weight": (
+                        "post_attention_layernorm.weight"
+                    ),
+                    "post_feedforward_layernorm.weight": "__post_ffw__",
+                }.get(sub, sub)
             ours = _HF_TO_OURS.get(sub)
+            if ours is None and sub == "__post_attn_out__":
+                ours = "post_attn_out_norm"
+            elif ours is None and sub == "__post_ffw__":
+                ours = "post_ffw_norm"
             if ours is None:
                 me = _HF_EXPERT_RE.match(sub)
                 if me:
@@ -346,6 +380,10 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
         arrays["layers.qkv_bias"] = np.asarray(params.layers.qkv_bias)
     if params.layers.router is not None:
         arrays["layers.router"] = np.asarray(params.layers.router)
+    for name in ("post_attn_out_norm", "post_ffw_norm"):
+        w = getattr(params.layers, name)
+        if w is not None:
+            arrays[f"layers.{name}"] = np.asarray(w)
 
     meta = {
         "shapes": shapes,
@@ -438,6 +476,10 @@ def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
     fields["router"] = (
         get("layers.router") if "layers.router" in data else None
     )
+    for name in ("post_attn_out_norm", "post_ffw_norm"):
+        fields[name] = (
+            get(f"layers.{name}") if f"layers.{name}" in data else None
+        )
     if "lm_head.packed" in data:
         lm_head = packed_weight("lm_head", "lm_head")
     else:

@@ -80,6 +80,7 @@ def naive_attention(
     k_scale: Optional[jax.Array] = None,  # [B, KV, T] fp32 absmax (int8 KV)
     v_scale: Optional[jax.Array] = None,
     segment_ids: Optional[jax.Array] = None,  # [B, S] (self-attn: S == T)
+    logit_softcap: Optional[float] = None,  # Gemma-2: cap*tanh(sc/cap)
 ) -> jax.Array:
     b, nh, s, d = q.shape
     nkv, t_max = k.shape[1], k.shape[2]
@@ -97,6 +98,8 @@ def naive_attention(
     scores = scores * scale
     if k_scale is not None:
         scores = scores * (k_scale * (1.0 / 127.0))[:, :, None, None, :]
+    if logit_softcap is not None:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     vis = _visibility(
         jnp.arange(t_max, dtype=jnp.int32), positions, seq_lens, sliding_window,
         q_seg=segment_ids, k_seg=segment_ids,
@@ -116,7 +119,7 @@ def naive_attention(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "sliding_window", "q_chunk", "kv_chunk"),
+    static_argnames=("scale", "q_chunk", "kv_chunk", "logit_softcap"),
 )
 def chunked_attention(
     q: jax.Array,  # [B, H, S, D]
@@ -132,6 +135,7 @@ def chunked_attention(
     q_chunk: int = 512,
     kv_chunk: int = 512,
     segment_ids: Optional[jax.Array] = None,  # [B, S] (self-attn: S == T)
+    logit_softcap: Optional[float] = None,  # Gemma-2: cap*tanh(sc/cap)
 ) -> jax.Array:
     b, nh, s, d = q.shape
     nkv, t_max = k.shape[1], k.shape[2]
@@ -211,6 +215,8 @@ def chunked_attention(
                         k_scale, t0, kv_chunk, axis=2
                     )
                     sc = sc * (ksc * (1.0 / 127.0))[:, :, None, None, :]
+                if logit_softcap is not None:
+                    sc = jnp.tanh(sc / logit_softcap) * logit_softcap
                 t_ids = t0 + jnp.arange(kv_chunk, dtype=jnp.int32)
                 seg_c = (
                     None
@@ -518,6 +524,7 @@ def attention(
     contiguous_positions: bool = False,
     differentiable: bool = False,
     segment_ids=None,
+    logit_softcap=None,
 ):
     """Dispatching entry point; see module docstring for the contract.
 
@@ -544,6 +551,10 @@ def attention(
             contiguous_positions
             and not differentiable
             and segment_ids is None
+            and logit_softcap is None
+            # Traced per-layer windows (Gemma-2 alternating local/global)
+            # cannot drive the flash kernel's static tile skipping.
+            and (sliding_window is None or isinstance(sliding_window, int))
             and _flash_eligible(q, k, s, t_max, d)
         ):
             sc = _pick_sc(s, nh // k.shape[1])
@@ -556,7 +567,7 @@ def attention(
             q, k, v, positions, seq_lens, scale=scale,
             sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
             q_chunk=min(q_chunk, s), kv_chunk=kv_chunk,
-            segment_ids=segment_ids,
+            segment_ids=segment_ids, logit_softcap=logit_softcap,
         )
     if s == 1 and t_max >= 4096:
         # Decode over a long cache: the chunk-skipping path reads (and
@@ -566,10 +577,10 @@ def attention(
         return chunked_attention(
             q, k, v, positions, seq_lens, scale=scale,
             sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
-            q_chunk=1, kv_chunk=kc,
+            q_chunk=1, kv_chunk=kc, logit_softcap=logit_softcap,
         )
     return naive_attention(
         q, k, v, positions, seq_lens, scale=scale,
         sliding_window=sliding_window, k_scale=k_scale, v_scale=v_scale,
-        segment_ids=segment_ids,
+        segment_ids=segment_ids, logit_softcap=logit_softcap,
     )
