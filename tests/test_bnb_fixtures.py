@@ -195,3 +195,41 @@ class TestAgainstRealBitsandbytes:
         np.testing.assert_array_equal(
             fixtures["0.code2"].view(np.uint32), dynamic_code().view(np.uint32)
         )
+
+    def test_fp4_dequant_matches_bnb_bytes(self, fixtures):
+        """fp4-flavored fixtures (recorder writes both codebooks since
+        round 3); skip inside old nf4-only recordings."""
+        if "0.fp4.packed" not in fixtures:
+            pytest.skip("fixture file predates fp4 recording")
+        from nf4_tpu.nf4.adapters import quant_state_from_arrays
+
+        for i in self._cases(fixtures):
+            m, n = fixtures[f"{i}.shape"]
+            st = quant_state_from_arrays(
+                fixtures[f"{i}.fp4.packed"],
+                fixtures[f"{i}.fp4.absmax_u8"],
+                (int(m), int(n)),
+                absmax32=fixtures[f"{i}.fp4.absmax32"],
+                offset=float(fixtures[f"{i}.fp4.offset"]),
+                code2=fixtures[f"{i}.fp4.code2"],
+                dtype=np.float16,
+                quant_type="fp4",
+            )
+            dq = dequantize_nf4(st)
+            np.testing.assert_array_equal(
+                dq.view(np.uint16), fixtures[f"{i}.fp4.dequant_fp16_bits"]
+            )
+
+    def test_fp4_quantizer_matches_bnb_bytes(self, fixtures):
+        if "0.fp4.packed" not in fixtures:
+            pytest.skip("fixture file predates fp4 recording")
+        for i in self._cases(fixtures):
+            st = quantize_nf4(
+                fixtures[f"{i}.input"], dtype=np.float16, quant_type="fp4"
+            )
+            np.testing.assert_array_equal(
+                st.packed, fixtures[f"{i}.fp4.packed"]
+            )
+            np.testing.assert_array_equal(
+                st.absmax_u8, fixtures[f"{i}.fp4.absmax_u8"]
+            )

@@ -49,22 +49,26 @@ def main() -> int:
     assert torch.cuda.is_available(), "bitsandbytes quantize_4bit needs CUDA"
     rng = np.random.default_rng(SEED)
     arrays = {}
+    # Record BOTH codebooks: nf4 and fp4 (bnb's default) — keys for fp4
+    # fixtures carry a ".fp4" suffix; tests/test_bnb_fixtures.py checks
+    # whichever flavors are present.
     for i, (m, n) in enumerate(SHAPES):
         w = (rng.standard_normal((m, n)) * 0.05).astype(np.float32)
         t = torch.from_numpy(w).cuda()
-        packed, qs = F.quantize_4bit(
-            t, blocksize=64, compress_statistics=True, quant_type="nf4"
-        )
-        dq16 = F.dequantize_4bit(packed, qs).to(torch.float16).cpu().numpy()
-        qsb = qs
-        arrays[f"{i}.input"] = w
-        arrays[f"{i}.packed"] = packed.cpu().numpy().reshape(-1)
-        arrays[f"{i}.absmax_u8"] = qsb.absmax.cpu().numpy()
-        arrays[f"{i}.absmax32"] = qsb.state2.absmax.cpu().numpy()
-        arrays[f"{i}.code2"] = qsb.state2.code.cpu().numpy()
-        arrays[f"{i}.offset"] = np.float32(qsb.offset.item())
-        arrays[f"{i}.dequant_fp16_bits"] = dq16.view(np.uint16)
-        arrays[f"{i}.shape"] = np.asarray([m, n])
+        for qt in ("nf4", "fp4"):
+            suffix = "" if qt == "nf4" else ".fp4"
+            packed, qs = F.quantize_4bit(
+                t, blocksize=64, compress_statistics=True, quant_type=qt
+            )
+            dq16 = F.dequantize_4bit(packed, qs).to(torch.float16).cpu().numpy()
+            arrays[f"{i}.input"] = w
+            arrays[f"{i}{suffix}.packed"] = packed.cpu().numpy().reshape(-1)
+            arrays[f"{i}{suffix}.absmax_u8"] = qs.absmax.cpu().numpy()
+            arrays[f"{i}{suffix}.absmax32"] = qs.state2.absmax.cpu().numpy()
+            arrays[f"{i}{suffix}.code2"] = qs.state2.code.cpu().numpy()
+            arrays[f"{i}{suffix}.offset"] = np.float32(qs.offset.item())
+            arrays[f"{i}{suffix}.dequant_fp16_bits"] = dq16.view(np.uint16)
+            arrays[f"{i}{suffix}.shape"] = np.asarray([m, n])
     np.savez(args.out, **arrays)
     print(f"recorded {len(SHAPES)} fixtures -> {args.out}")
     return 0
