@@ -216,3 +216,33 @@ class TestGemma2Loader:
             [[1, 2, 3]], max_new_tokens=3
         )
         assert len(res[0].tokens) == 3
+
+
+class TestGemma2TP:
+    def test_tp_engine_matches_single_device(self, model):
+        """Gemma-2 through the TP layer: per-layer traced windows,
+        softcapping, and the extra norms all ride shard_map —
+        token-identical to single-device."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        import dataclasses as _dc
+
+        from nf4_tpu.parallel.mesh import make_mesh
+        from nf4_tpu.parallel.tp import repack_tp
+
+        params_tp, cfg_tp = repack_tp(model, CFG, 2)
+        prompts = [[1, 2, 3], [4, 5]]
+        want = [
+            r.tokens
+            for r in Engine(model, CFG, batch_size=2, eos_token=-1).generate(
+                prompts, max_new_tokens=4
+            )
+        ]
+        mesh = make_mesh(tp=2)
+        got = [
+            r.tokens
+            for r in Engine(
+                params_tp, cfg_tp, batch_size=2, eos_token=-1, mesh=mesh
+            ).generate(prompts, max_new_tokens=4)
+        ]
+        assert got == want
