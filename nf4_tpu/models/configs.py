@@ -114,6 +114,20 @@ LLAMA3_8B = LlamaConfig(
     max_seq_len=8192,
 )
 
+# Qwen3-8B (Qwen2-style GQA without biases + per-head q/k RMSNorm).
+QWEN3_8B = LlamaConfig(
+    vocab_size=151936,
+    hidden_size=4096,
+    intermediate_size=12288,
+    num_layers=36,
+    num_heads=32,
+    num_kv_heads=8,
+    head_dim=128,
+    rope_theta=1000000.0,
+    max_seq_len=32768,
+    qk_norm=True,
+)
+
 # Tiny Gemma-2-style config for tests (softcapping, 4-norm blocks,
 # alternating local/global attention).
 TINY_GEMMA2 = LlamaConfig(
@@ -243,6 +257,7 @@ _REGISTRY = {
     "phi3-mini": PHI3_MINI,
     "tiny-gemma2": TINY_GEMMA2,
     "gemma2-9b": GEMMA2_9B,
+    "qwen3-8b": QWEN3_8B,
     "mixtral-8x7b": MIXTRAL_8X7B,
     "llama3-70b": LLAMA3_70B,
 }

@@ -81,6 +81,9 @@ class LlamaConfig:
     sliding_window: Optional[int] = None
     # Bias on the q/k/v projections (Qwen2-style).
     attn_bias: bool = False
+    # Per-head RMSNorm on the query/key projections before RoPE
+    # (Qwen3-style; LayerParams.q_norm/k_norm hold the [head_dim] weights).
+    qk_norm: bool = False
     # MLP activation on the gate branch: "silu" (Llama), "gelu_tanh"
     # (Gemma's GeGLU / HF gelu_pytorch_tanh), or exact "gelu".
     activation: str = "silu"
@@ -173,6 +176,9 @@ class LayerParams:
     # MoE router [num_experts, hidden] (dense — it is tiny and the route
     # decision is precision-sensitive).  None for dense-MLP models.
     router: Optional[jax.Array] = None
+    # Qwen3 per-head q/k RMSNorm weights [head_dim]; None otherwise.
+    q_norm: Optional[jax.Array] = None
+    k_norm: Optional[jax.Array] = None
     # Gemma-2 sublayer-OUTPUT norms, applied to the attention / MLP
     # result before its residual add (HF post_attention_layernorm /
     # post_feedforward_layernorm — note Gemma-2's MLP PRE-norm, HF's
@@ -332,6 +338,11 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
                 post_attn_out_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_ffw_norm=jnp.ones((h,), dtype=jnp.float32),
             )
+        if cfg.qk_norm:  # Qwen3 q/k head norms
+            extra.update(
+                q_norm=jnp.ones((cfg.head_dim,), dtype=jnp.float32),
+                k_norm=jnp.ones((cfg.head_dim,), dtype=jnp.float32),
+            )
         layers[-1] = layers[-1].replace(
             w_gateup=gu, w_down=dn, router=router, **extra
         )
@@ -413,6 +424,16 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
         post_ffw_norm=(
             jnp.asarray(lw["post_ffw_norm"], dtype=jnp.float32)
             if "post_ffw_norm" in lw
+            else None
+        ),
+        q_norm=(
+            jnp.asarray(lw["q_norm"], dtype=jnp.float32)
+            if "q_norm" in lw
+            else None
+        ),
+        k_norm=(
+            jnp.asarray(lw["k_norm"], dtype=jnp.float32)
+            if "k_norm" in lw
             else None
         ),
     )
@@ -726,6 +747,9 @@ def _layer_forward(
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    if lp.q_norm is not None:  # Qwen3: per-head RMSNorm before RoPE
+        q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
+        k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)
 
     q = q.transpose(0, 2, 1, 3)  # [B,H,S,D]
     k = k.transpose(0, 2, 1, 3)

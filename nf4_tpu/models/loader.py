@@ -82,6 +82,7 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         attn_bias=bool(hf.get("attention_bias", False))
         or hf.get("model_type") == "qwen2",
+        qk_norm=hf.get("model_type") == "qwen3",
         max_seq_len=min(int(hf.get("max_position_embeddings", 2048)), 8192),
         sliding_window=(
             int(hf["sliding_window"]) if hf.get("sliding_window") else None
@@ -160,6 +161,9 @@ _HF_TO_OURS = {
     # Mixtral MoE router; per-expert weights are matched by
     # _HF_EXPERT_RE below (w1=gate, w3=up, w2=down).
     "block_sparse_moe.gate.weight": "router",
+    # Qwen3 per-head q/k norms.
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
     "input_layernorm.weight": "input_norm",
     "post_attention_layernorm.weight": "post_attn_norm",
     # Qwen2-style attention biases (optional; required iff cfg.attn_bias).
@@ -212,6 +216,8 @@ def load_hf_llama(
     gemma2 = cfg.attn_logit_softcapping is not None
     if gemma2:
         required |= {"post_attn_out_norm", "post_ffw_norm"}
+    if not cfg.qk_norm:
+        required -= {"q_norm", "k_norm"}
     if cfg.num_experts > 1:
         # MoE checkpoints have per-expert MLP tensors instead of the
         # dense mlp.* keys, plus the router.
@@ -380,7 +386,7 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
         arrays["layers.qkv_bias"] = np.asarray(params.layers.qkv_bias)
     if params.layers.router is not None:
         arrays["layers.router"] = np.asarray(params.layers.router)
-    for name in ("post_attn_out_norm", "post_ffw_norm"):
+    for name in ("post_attn_out_norm", "post_ffw_norm", "q_norm", "k_norm"):
         w = getattr(params.layers, name)
         if w is not None:
             arrays[f"layers.{name}"] = np.asarray(w)
@@ -476,7 +482,7 @@ def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
     fields["router"] = (
         get("layers.router") if "layers.router" in data else None
     )
-    for name in ("post_attn_out_norm", "post_ffw_norm"):
+    for name in ("post_attn_out_norm", "post_ffw_norm", "q_norm", "k_norm"):
         fields[name] = (
             get(f"layers.{name}") if f"layers.{name}" in data else None
         )

@@ -161,7 +161,10 @@ def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
         fields["qkv_bias"] = P(None, axis)  # column-parallel like wqkv rows
     if lp.router is not None:
         fields["router"] = P(None, None, None)  # [L, E, H] replicated
-    for k in ("post_attn_out_norm", "post_ffw_norm"):  # Gemma-2 [L, H]
+    for k in (
+        "post_attn_out_norm", "post_ffw_norm",  # Gemma-2 [L, H]
+        "q_norm", "k_norm",  # Qwen3 [L, D]
+    ):
         if getattr(lp, k) is not None:
             fields[k] = P(None, None)
     from ..ops.int8_serve import PackedInt8
