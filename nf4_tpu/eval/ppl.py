@@ -67,14 +67,12 @@ def _batch_token_logp(
 
 
 def _bucket_len(n: int, cap: int) -> int:
-    """Pad a sequence length to a power-of-two bucket (min 16, capped):
-    bounds the number of compiled (B, T) shapes on serving paths — each
-    novel shape costs a full-model compile (10-40s on the remote-compile
-    rig; see CLAUDE.md)."""
-    b = 16
-    while b < n:
-        b *= 2
-    return min(b, cap)
+    """Pad a sequence length to a power-of-two bucket (min 16, capped) —
+    the same buckets the serving engine uses (utils.shapes.bucket_len),
+    so scoring and prefill share compiled shapes."""
+    from ..utils.shapes import bucket_len
+
+    return min(bucket_len(n), cap)
 
 
 def token_logprobs(

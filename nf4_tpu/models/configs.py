@@ -171,10 +171,11 @@ GEMMA2_9B = LlamaConfig(
     sliding_window_pattern=2,
 )
 
-# Phi-3-mini-128k: fused qkv/gate_up checkpoint keys + "longrope"
-# scaling (per-dim factor arrays, 4k original context).  The factor
-# arrays live in the checkpoint's config.json; this entry carries the
-# shape/topology, hf_config_to_llama fills rope_scaling on load.
+# Phi-3-mini: fused qkv/gate_up checkpoint keys; the 128k variant's
+# "longrope" factor arrays live in the checkpoint's config.json, so this
+# STANDALONE entry pins max_seq_len to the original 4k context where
+# unscaled RoPE is exact — hf_config_to_llama fills rope_scaling (and a
+# longer max_seq_len) when loading a real checkpoint.
 PHI3_MINI = LlamaConfig(
     vocab_size=32064,
     hidden_size=3072,
@@ -184,7 +185,7 @@ PHI3_MINI = LlamaConfig(
     num_kv_heads=32,
     head_dim=96,
     rope_theta=10000.0,
-    max_seq_len=131072,
+    max_seq_len=4096,
 )
 
 # Tiny MoE config for tests (Mixtral-style routing at toy scale).

@@ -69,10 +69,14 @@ class LlamaConfig:
     # tuple: ("llama3", factor, low_freq_factor, high_freq_factor,
     # original_max_position_embeddings) — the Llama-3.1/3.2 scheme;
     # ("linear", factor); or ("longrope", short_factors, long_factors,
-    # original_max_position_embeddings) — the Phi-3 scheme (per-dim
-    # factor tuples; the table picks short vs long by whether
-    # max_seq_len exceeds the original context, and cos/sin scale by
-    # sqrt(1 + ln(factor)/ln(orig))).  None = unscaled.
+    # original_max_position_embeddings[, attention_factor]) — the Phi-3
+    # scheme.  Factor choice is DEPLOYMENT-static (vLLM-style): long
+    # factors when max_seq_len exceeds the original context, else short
+    # (HF eager instead switches per runtime length — short prompts on a
+    # long-deployed model differ from HF by construction).  cos/sin are
+    # scaled by attention_factor; the loader computes it from the
+    # CHECKPOINT's max_position_embeddings (sqrt(1+ln(scale)/ln(orig)))
+    # so a serving-context cap cannot skew the checkpoint's math.
     rope_scaling: Optional[tuple] = None
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 2048
@@ -333,7 +337,10 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
         )
         gu, dn, router = mlp_weights()
         extra = {}
-        if cfg.attn_logit_softcapping is not None:  # Gemma-2 block shape
+        if (
+            cfg.attn_logit_softcapping is not None
+            or cfg.sliding_window_pattern > 1
+        ):  # Gemma-2 block shape
             extra = dict(
                 post_attn_out_norm=jnp.ones((h,), dtype=jnp.float32),
                 post_ffw_norm=jnp.ones((h,), dtype=jnp.float32),
@@ -542,7 +549,7 @@ def _scaled_inv_freq(cfg: LlamaConfig) -> jax.Array:
             wavelen < high_wl, inv_freq, jnp.where(wavelen > low_wl, scaled, mid)
         )
     if kind == "longrope":
-        _, short, long, orig = cfg.rope_scaling
+        _, short, long, orig = cfg.rope_scaling[:4]
         factors = long if cfg.max_seq_len > orig else short
         return inv_freq / jnp.asarray(factors, jnp.float32)
     raise ValueError(
@@ -551,10 +558,15 @@ def _scaled_inv_freq(cfg: LlamaConfig) -> jax.Array:
 
 
 def _rope_attn_scale(cfg: LlamaConfig) -> float:
-    """Phi-3 longrope multiplies cos/sin by sqrt(1 + ln(scale)/ln(orig))
-    (HF's computed attention_factor); 1.0 for every other scheme."""
+    """Phi-3 longrope multiplies cos/sin by the checkpoint's attention
+    factor (tuple entry 5 when present — computed by the loader from the
+    checkpoint's full max_position_embeddings, sqrt(1+ln(scale)/ln(orig));
+    falls back to deriving it from cfg.max_seq_len for hand-built
+    configs); 1.0 for every other scheme."""
     if cfg.rope_scaling is None or cfg.rope_scaling[0] != "longrope":
         return 1.0
+    if len(cfg.rope_scaling) > 4:
+        return float(cfg.rope_scaling[4])
     orig = cfg.rope_scaling[3]
     scale = cfg.max_seq_len / orig
     if scale <= 1.0:

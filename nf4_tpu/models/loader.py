@@ -27,7 +27,7 @@ __all__ = [
 ]
 
 
-def _parse_rope_scaling(rs):
+def _parse_rope_scaling(rs, ckpt_max=None):
     """HF ``rope_scaling`` dict -> the hashable LlamaConfig tuple.
 
     Handles the "llama3" scheme (Llama-3.1/3.2) and "linear"; "default"/
@@ -50,11 +50,26 @@ def _parse_rope_scaling(rs):
             int(rs["original_max_position_embeddings"]),
         )
     if kind == "longrope":
+        orig = int(rs["original_max_position_embeddings"])
+        # The attention factor comes from the CHECKPOINT's full context
+        # (hf max_position_embeddings), not the serving cap — HF derives
+        # it once from the config regardless of runtime length.
+        af = rs.get("attention_factor")
+        if af is None:
+            import math
+
+            scale = max(1.0, float(ckpt_max or orig) / orig)
+            af = (
+                1.0
+                if scale == 1.0
+                else math.sqrt(1.0 + math.log(scale) / math.log(orig))
+            )
         return (
             "longrope",
             tuple(float(f) for f in rs["short_factor"]),
             tuple(float(f) for f in rs["long_factor"]),
-            int(rs["original_max_position_embeddings"]),
+            orig,
+            float(af),
         )
     raise ValueError(
         f"unsupported rope_scaling type {kind!r} "
@@ -76,7 +91,9 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
         head_dim=head_dim,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
-        rope_scaling=_parse_rope_scaling(hf.get("rope_scaling")),
+        rope_scaling=_parse_rope_scaling(
+            hf.get("rope_scaling"), hf.get("max_position_embeddings")
+        ),
         num_experts=int(hf.get("num_local_experts", 1) or 1),
         experts_per_token=int(hf.get("num_experts_per_tok", 2) or 2),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
@@ -95,17 +112,22 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
     act = hf.get("hidden_act") or hf.get("hidden_activation") or ""
     is_gemma = hf.get("model_type") in ("gemma", "gemma2")
     if hf.get("model_type") == "gemma2":
+        def _capval(key, default):
+            # Present-but-null/0 means EXPLICITLY DISABLED; defaults
+            # apply only when the key is absent.
+            if key in hf:
+                v = hf[key]
+                return None if not v else float(v)
+            return default
+
+        qpas = hf.get(
+            "query_pre_attn_scalar",
+            hf["hidden_size"] / hf["num_attention_heads"],
+        )
         kwargs.update(
-            attn_logit_softcapping=float(
-                hf.get("attn_logit_softcapping") or 50.0
-            ),
-            final_logit_softcapping=float(
-                hf.get("final_logit_softcapping") or 30.0
-            ),
-            query_pre_attn_scalar=float(
-                hf.get("query_pre_attn_scalar")
-                or hf["hidden_size"] / hf["num_attention_heads"]
-            ),
+            attn_logit_softcapping=_capval("attn_logit_softcapping", 50.0),
+            final_logit_softcapping=_capval("final_logit_softcapping", 30.0),
+            query_pre_attn_scalar=float(qpas) if qpas else None,
             # Gemma-2 alternates local/global attention every other layer.
             sliding_window_pattern=2,
         )
@@ -213,7 +235,13 @@ def load_hf_llama(
     # post_attention_layernorm is the attention-OUTPUT norm there, while
     # this struct's post_attn_norm has always been the MLP PRE-norm
     # (= Gemma-2's pre_feedforward_layernorm).
-    gemma2 = cfg.attn_logit_softcapping is not None
+    # Gemma-2 marker: 4-norm blocks ride with EITHER convention (a
+    # checkpoint may explicitly disable softcapping but always alternates
+    # attention).
+    gemma2 = (
+        cfg.attn_logit_softcapping is not None
+        or cfg.sliding_window_pattern > 1
+    )
     if gemma2:
         required |= {"post_attn_out_norm", "post_ffw_norm"}
     if not cfg.qk_norm:

@@ -30,6 +30,7 @@ from ..models.llama import (
     forward,
     init_kv_cache,
 )
+from ..utils.shapes import bucket_len
 from .sampling import BatchedSampling, SamplingParams, sample, sample_batched
 from .speculative import propose_ngram
 
@@ -254,10 +255,7 @@ _sample_batched_jit = jax.jit(sample_batched)
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+    return bucket_len(n, minimum)
 
 
 class Engine:
@@ -964,9 +962,9 @@ class Engine:
                             if top_lp_k
                             else []
                         )
-                        if (
-                            on_token is not None
-                            and int(first[j]) not in req_stops[_r]
+                        if on_token is not None and (
+                            int(first[j]) not in req_stops[_r]
+                            or _sp_for(_r).choices
                         ):
                             on_token(_r, int(first[j]))
                         slot_logprobs[s] = (
@@ -1211,7 +1209,9 @@ class Engine:
                                 )
                             if return_logprobs:
                                 slot_logprobs[s].append(float(lps[i, s]))
-                            if on_token is not None and t not in req_stops[r]:
+                            if on_token is not None and (
+                                t not in req_stops[r] or _sp_for(r).choices
+                            ):
                                 on_token(r, t)
                             if t in req_stops[r] or (
                                 len(slot_generated[s]) >= req_budget[r]
@@ -1261,9 +1261,9 @@ class Engine:
                     )
                 if return_logprobs:
                     slot_logprobs[s].append(float(step_lps[s]))
-                if (
-                    on_token is not None
-                    and int(next_tok[s]) not in req_stops[r]
+                if on_token is not None and (
+                    int(next_tok[s]) not in req_stops[r]
+                    or _sp_for(r).choices
                 ):
                     on_token(r, int(next_tok[s]))
 
@@ -1287,6 +1287,13 @@ class Engine:
                 -1 if (adapter is None or adapter[i] is None) else int(adapter[i])
                 for i in range(len(prompts))
             ]
+            if all(i == -1 for i in ids):
+                # Provably-zero deltas: keep the cheap (and already
+                # compiled) bank-free scoring graph.
+                return token_logprobs(
+                    params, self.cfg, prompts,
+                    batch_size=batch_size or self.batch_size,
+                )
             return token_logprobs(
                 params, self.cfg, prompts,
                 batch_size=batch_size or self.batch_size,

@@ -499,3 +499,23 @@ class TestGuidedChoiceWithBans:
         )[0]
         assert tuple(res.tokens) == (7, 9)
         assert res.finished
+
+
+class TestGuidedChoiceStreaming:
+    def test_stream_delivers_stop_id_choice_tokens(self, setup):
+        """A stop id emitted as PART of a guided choice must still reach
+        the on_token stream (the stop-suppression guard is disabled under
+        choices, matching the non-streaming result)."""
+        CFG, model = setup
+        from nf4_tpu.serve.engine import Engine
+
+        choices = ((7, 9),)
+        got = []
+        res = Engine(model, CFG, batch_size=1, eos_token=7).generate(
+            [[1, 2, 3]],
+            max_new_tokens=4,
+            sampling=SamplingParams(choices=choices),
+            on_token=lambda r, t: got.append(t),
+        )[0]
+        assert tuple(res.tokens) == (7, 9)
+        assert got == list(res.tokens)

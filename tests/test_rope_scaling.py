@@ -162,12 +162,13 @@ class TestLongrope:
             "long_factor": [2.0, 2.5],
             "original_max_position_embeddings": 4096,
         }
-        assert _parse_rope_scaling(rs) == (
-            "longrope",
-            (1.0, 1.1),
-            (2.0, 2.5),
-            4096,
-        )
+        # The attention factor comes from the CHECKPOINT's full context
+        # (5th entry) — a Phi-3-mini-128k-style config yields
+        # sqrt(1 + ln(32)/ln(4096)); without a checkpoint max it is 1.0.
+        got = _parse_rope_scaling(rs, ckpt_max=131072)
+        assert got[:4] == ("longrope", (1.0, 1.1), (2.0, 2.5), 4096)
+        assert abs(got[4] - math.sqrt(1 + math.log(32) / math.log(4096))) < 1e-9
+        assert _parse_rope_scaling(rs)[4] == 1.0
 
 
 class TestPhi3Loader:
