@@ -171,6 +171,30 @@ GEMMA2_9B = LlamaConfig(
     sliding_window_pattern=2,
 )
 
+# Gemma-3-4B (text): dual rope (local 10k / global 1M + linear x8),
+# 5:1 local:global attention, q/k head norms, Gemma-2-style 4-norm
+# blocks, no softcapping.
+GEMMA3_4B = LlamaConfig(
+    vocab_size=262144,
+    hidden_size=2560,
+    intermediate_size=10240,
+    num_layers=34,
+    num_heads=8,
+    num_kv_heads=4,
+    head_dim=256,
+    rope_theta=1000000.0,
+    rope_local_theta=10000.0,
+    rope_scaling=("linear", 8.0),
+    max_seq_len=32768,
+    activation="gelu_tanh",
+    rmsnorm_one_plus=True,
+    scale_embeddings=True,
+    qk_norm=True,
+    query_pre_attn_scalar=256.0,
+    sliding_window=1024,
+    sliding_window_pattern=6,
+)
+
 # Phi-3-mini: fused qkv/gate_up checkpoint keys; the 128k variant's
 # "longrope" factor arrays live in the checkpoint's config.json, so this
 # STANDALONE entry pins max_seq_len to the original 4k context where
@@ -258,6 +282,7 @@ _REGISTRY = {
     "phi3-mini": PHI3_MINI,
     "tiny-gemma2": TINY_GEMMA2,
     "gemma2-9b": GEMMA2_9B,
+    "gemma3-4b": GEMMA3_4B,
     "qwen3-8b": QWEN3_8B,
     "mixtral-8x7b": MIXTRAL_8X7B,
     "llama3-70b": LLAMA3_70B,

@@ -132,6 +132,10 @@ class LlamaConfig:
     final_logit_softcapping: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
     sliding_window_pattern: int = 1
+    # Gemma-3: LOCAL (windowed) layers rotate with this base frequency,
+    # unscaled; global layers use rope_theta + rope_scaling.  None = one
+    # rope for all layers.
+    rope_local_theta: Optional[float] = None
 
     @property
     def attn_scale(self) -> float:
@@ -576,6 +580,16 @@ def _rope_attn_scale(cfg: LlamaConfig) -> float:
     return math.sqrt(1.0 + math.log(scale) / math.log(orig))
 
 
+def _layer_is_local(cfg: LlamaConfig) -> Optional[jax.Array]:
+    """Per-layer bool [L]: True for windowed (local) layers under an
+    alternating pattern; None when a single rope/window serves all."""
+    if cfg.sliding_window_pattern <= 1:
+        return None
+    i = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    pat = cfg.sliding_window_pattern
+    return i % pat != pat - 1
+
+
 def _layer_windows(cfg: LlamaConfig) -> Optional[jax.Array]:
     """Per-layer sliding windows [L] for alternating local/global
     attention (Gemma-2), or None when every layer uses the static
@@ -594,6 +608,17 @@ def _layer_windows(cfg: LlamaConfig) -> Optional[jax.Array]:
 
 def _softcap(logits: jax.Array, cap: Optional[float]) -> jax.Array:
     return logits if cap is None else jnp.tanh(logits / cap) * cap
+
+
+def local_rope_tables(cfg: LlamaConfig, positions: jax.Array):
+    """Gemma-3 local-layer tables: rope_local_theta, UNSCALED (global
+    layers keep rope_theta + rope_scaling); None when single-rope."""
+    if cfg.rope_local_theta is None:
+        return None
+    local_cfg = dataclasses.replace(
+        cfg, rope_theta=cfg.rope_local_theta, rope_scaling=None
+    )
+    return rope_tables(local_cfg, positions)
 
 
 def rope_tables(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -999,10 +1024,20 @@ def forward(
     # inside ops.attention from (positions, seq_lens) — the O(B*S*T) mask
     # tensor is never materialized.
 
+    local_tabs = local_rope_tables(cfg, positions)
+    is_local = _layer_is_local(cfg) if local_tabs is not None else None
+
     def body(x, layer):
-        lp, layer_cache, ll, window = layer
+        lp, layer_cache, ll, window, loc = layer
+        if local_tabs is not None:
+            # Gemma-3: local layers rotate with the unscaled local-theta
+            # tables; the per-layer flag is a scalar bool from the scan.
+            c = jnp.where(loc, local_tabs[0], cos)
+            sn = jnp.where(loc, local_tabs[1], sin)
+        else:
+            c, sn = cos, sin
         x, layer_cache = _layer_forward(
-            cfg, x, lp, layer_cache, positions, seq_lens, cos, sin, reduce_fn,
+            cfg, x, lp, layer_cache, positions, seq_lens, c, sn, reduce_fn,
             ll=ll, adapter_ids=adapter_ids, window=window,
         )
         return x, layer_cache
@@ -1013,7 +1048,8 @@ def forward(
     # None per-layer window vector (uniform-window models).
     lora_layers = None if lora is None else lora.layers
     x, new_cache = jax.lax.scan(
-        body, x, (params.layers, cache, lora_layers, _layer_windows(cfg))
+        body, x,
+        (params.layers, cache, lora_layers, _layer_windows(cfg), is_local),
     )
 
     if last_only:
@@ -1070,9 +1106,14 @@ def train_forward(
     cos, sin = rope_tables(cfg, slot_ids if positions is None else positions)
 
     def body(x, layer):
-        lp, ll, window = layer
+        lp, ll, window, loc = layer
+        if local_tabs is not None:
+            c = jnp.where(loc, local_tabs[0], cos)
+            sn = jnp.where(loc, local_tabs[1], sin)
+        else:
+            c, sn = cos, sin
         x, _ = _layer_forward(
-            cfg, x, lp, None, slot_ids, seq_lens, cos, sin,
+            cfg, x, lp, None, slot_ids, seq_lens, c, sn,
             reduce_fn=reduce_fn, ll=ll, train=True, segment_ids=segment_ids,
             window=window,
         )
@@ -1081,8 +1122,13 @@ def train_forward(
     if remat:
         body = jax.checkpoint(body)
     lora_layers = None if lora is None else lora.layers
+    local_tabs = local_rope_tables(
+        cfg, slot_ids if positions is None else positions
+    )
+    is_local = _layer_is_local(cfg) if local_tabs is not None else None
     x, _ = jax.lax.scan(
-        body, x, (params.layers, lora_layers, _layer_windows(cfg))
+        body, x,
+        (params.layers, lora_layers, _layer_windows(cfg), is_local),
     )
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps, cfg.rmsnorm_one_plus)

@@ -110,7 +110,22 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
     # gelu (exact); anything else gelu-like is an error rather than a silent
     # approximation swap.
     act = hf.get("hidden_act") or hf.get("hidden_activation") or ""
-    is_gemma = hf.get("model_type") in ("gemma", "gemma2")
+    is_gemma = hf.get("model_type") in (
+        "gemma", "gemma2", "gemma3", "gemma3_text"
+    )
+    if hf.get("model_type") in ("gemma3", "gemma3_text"):
+        kwargs.update(
+            # Gemma-3: 5 local layers per global one, dual rope (local
+            # layers at rope_local_base_freq unscaled; global layers at
+            # rope_theta with the config's rope_scaling), q/k head norms,
+            # no softcapping, Gemma-2-style 4-norm blocks.
+            sliding_window_pattern=int(hf.get("sliding_window_pattern", 6)),
+            rope_local_theta=float(hf.get("rope_local_base_freq", 10000.0)),
+            qk_norm=True,
+            query_pre_attn_scalar=float(hf["query_pre_attn_scalar"])
+            if hf.get("query_pre_attn_scalar")
+            else None,
+        )
     if hf.get("model_type") == "gemma2":
         def _capval(key, default):
             # Present-but-null/0 means EXPLICITLY DISABLED; defaults

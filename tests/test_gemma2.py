@@ -246,3 +246,108 @@ class TestGemma2TP:
             ).generate(prompts, max_new_tokens=4)
         ]
         assert got == want
+
+
+class TestGemma3:
+    """Gemma-3: dual rope (local layers at rope_local_theta unscaled,
+    global layers at rope_theta + scaling) selected per layer inside the
+    scan; 5:1 pattern; q/k norms; no softcapping."""
+
+    CFG3 = dataclasses.replace(
+        TINY_GEMMA2,
+        num_layers=6,
+        attn_logit_softcapping=None,
+        final_logit_softcapping=None,
+        rope_theta=1000000.0,
+        rope_local_theta=10000.0,
+        rope_scaling=("linear", 8.0),
+        qk_norm=True,
+        sliding_window_pattern=3,
+    )
+
+    def test_local_tables_are_unscaled_local_theta(self):
+        from nf4_tpu.models.llama import local_rope_tables, rope_tables
+
+        pos = jnp.arange(8, dtype=jnp.int32)[None, :]
+        loc = local_rope_tables(self.CFG3, pos)
+        ref_cfg = dataclasses.replace(
+            self.CFG3, rope_theta=10000.0, rope_scaling=None,
+            rope_local_theta=None,
+        )
+        want = rope_tables(ref_cfg, pos)
+        np.testing.assert_array_equal(np.asarray(loc[0]), np.asarray(want[0]))
+        # ...and they differ from the global tables (selection matters).
+        glob = rope_tables(self.CFG3, pos)
+        assert not np.allclose(np.asarray(loc[0]), np.asarray(glob[0]))
+
+    def test_dual_rope_is_live(self):
+        """Zeroing rope_local_theta (single global rope) changes outputs:
+        the per-layer selection really routes different tables."""
+        from nf4_tpu.models.llama import forward, init_kv_cache
+
+        params = init_params(self.CFG3, seed=0)
+        single = dataclasses.replace(self.CFG3, rope_local_theta=None)
+        s = 24
+        toks = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (1, s)), jnp.int32
+        )
+        pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (1, s))
+        lens = jnp.full((1,), s, jnp.int32)
+        la, _ = forward(
+            params, self.CFG3, toks, init_kv_cache(self.CFG3, 1), pos, lens
+        )
+        lb, _ = forward(
+            params, single, toks, init_kv_cache(single, 1), pos, lens
+        )
+        assert not np.allclose(np.asarray(la), np.asarray(lb), rtol=1e-3)
+
+    def test_engine_and_train(self):
+        import optax
+
+        from nf4_tpu.train import LoraConfig, init_lora, make_train_step
+
+        params = init_params(self.CFG3, seed=0)
+        res = Engine(params, self.CFG3, batch_size=2, eos_token=-1).generate(
+            [[1, 2, 3], [4, 5]], max_new_tokens=4
+        )
+        assert [len(r.tokens) for r in res] == [4, 4]
+        lora = init_lora(self.CFG3, LoraConfig(rank=2), seed=0)
+        opt = optax.adamw(5e-3)
+        step = make_train_step(self.CFG3, opt)
+        toks = jnp.asarray(
+            np.random.default_rng(1).integers(0, 256, (2, 10)), jnp.int32
+        )
+        _, _, loss = step(params, lora, opt.init(lora), toks)
+        assert np.isfinite(float(loss))
+
+    def test_hf_config_parsing(self, tmp_path):
+        from nf4_tpu.models.loader import hf_config_to_llama
+
+        (tmp_path / "config.json").write_text(
+            json.dumps(
+                {
+                    "model_type": "gemma3_text",
+                    "vocab_size": 1024,
+                    "hidden_size": 128,
+                    "intermediate_size": 256,
+                    "num_hidden_layers": 6,
+                    "num_attention_heads": 4,
+                    "num_key_value_heads": 2,
+                    "head_dim": 32,
+                    "max_position_embeddings": 4096,
+                    "hidden_activation": "gelu_pytorch_tanh",
+                    "rope_theta": 1000000.0,
+                    "rope_local_base_freq": 10000.0,
+                    "rope_scaling": {"rope_type": "linear", "factor": 8.0},
+                    "sliding_window": 512,
+                    "sliding_window_pattern": 6,
+                    "query_pre_attn_scalar": 32,
+                }
+            )
+        )
+        cfg = hf_config_to_llama(str(tmp_path / "config.json"))
+        assert cfg.rope_local_theta == 10000.0
+        assert cfg.sliding_window_pattern == 6
+        assert cfg.qk_norm and cfg.rmsnorm_one_plus and cfg.scale_embeddings
+        assert cfg.rope_scaling == ("linear", 8.0)
+        assert cfg.attn_logit_softcapping is None
