@@ -143,6 +143,16 @@ def dequant_check():
         # (run_diagnostics.py:137-146).
         check(ratio > 0.1, f"pallas within 10x of XLA reference ({ratio:.2f}x speedup)")
 
+    # FP4 codebook (bnb's Linear4bit default): the same kernels with the
+    # e2m1 table — bit-exact vs the fp4 oracle through the active backend.
+    state4 = quantize_nf4(w, quant_type="fp4")
+    pw4 = pack_for_tpu(state4, dtype=jnp.bfloat16)
+    oracle4 = np.asarray(
+        dequantize_nf4(state4, dtype=ml_dtypes.bfloat16)
+    ).astype(np.float32)
+    got4 = np.asarray(dequantize(pw4)).astype(np.float32)
+    check(bool(np.array_equal(got4, oracle4)), "fp4: bit-exact vs fp4 oracle")
+
     # bf16 byte-table fast path: same decode as the fused matmul kernel;
     # contract is <= 1.1e-2 relative of the oracle (double bf16 rounding).
     from nf4_tpu import dequantize_fast
