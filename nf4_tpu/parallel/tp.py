@@ -117,11 +117,6 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
     passed through shard_map (which slices leaves but keeps aux data).
     """
     lp = params.layers
-    assert lp.router is None or tp == 1, (
-        "tensor parallelism over MoE expert weights is not implemented yet "
-        "(the [L, E, ...] expert axis needs its own shard layout); serve "
-        "MoE models single-device or data-parallel (mesh with tp=1)"
-    )
     new_layers = lp.replace(
         **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},
         **{k: _localize_weight(getattr(lp, k), tp, "row") for k in _ROW_PARALLEL},
@@ -132,19 +127,31 @@ def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
 
 
 def _weight_spec(w, kind: str, axis: str):
-    """PartitionSpec pytree matching one (stacked) weight."""
+    """PartitionSpec pytree matching one (stacked) weight.
+
+    Rank-aware: specs anchor on the TRAILING dims so any number of leading
+    stack axes works — ``[L, rows, lanes]`` dense-MLP leaves and
+    ``[L, E, rows, lanes]`` MoE expert-stacked leaves alike (the expert
+    axis is replicated; each expert's columns/K-chunks shard like the
+    dense MLP, see models.llama._moe_mlp)."""
     from ..ops.int8_serve import PackedInt8
 
+    def trailing(arr, pos_from_end):
+        lead = [None] * (arr.ndim - pos_from_end)
+        tail = [None] * (pos_from_end - 1)
+        return P(*lead, axis, *tail)
+
     if isinstance(w, (PackedNF4, PackedInt8)):
+        packed = w.values if isinstance(w, PackedInt8) else w.packed
         if kind == "col":  # lane dim (last) holds out_features
-            spec = P(None, None, axis)
-        else:  # sublane dim (middle) holds K rows/chunks
-            spec = P(None, axis, None)
+            spec = trailing(packed, 1)
+        else:  # sublane dim (second-to-last) holds K rows/chunks
+            spec = trailing(packed, 2)
         if isinstance(w, PackedInt8):
             return w.replace(values=spec, scales=spec)
         return w.replace(packed=spec, scales=spec)
-    # Dense [L, m, n]: col-parallel shards m (axis 1), row-parallel n (axis 2).
-    return P(None, axis, None) if kind == "col" else P(None, None, axis)
+    # Dense [..., m, n]: col-parallel shards m, row-parallel n.
+    return trailing(w, 2) if kind == "col" else trailing(w, 1)
 
 
 def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
@@ -234,9 +241,6 @@ def repack_tp(params: LlamaParams, cfg: LlamaConfig, tp: int):
     from ..nf4.format import interleave_perm, permute_out_features, rechunk_shards
     from ..ops.int8_serve import PackedInt8
 
-    assert cfg.num_experts == 1, (
-        "repack_tp over MoE expert weights is not implemented yet"
-    )
     g0 = cfg.tp_shards
     if g0 == tp:
         return params, cfg

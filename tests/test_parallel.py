@@ -321,3 +321,110 @@ class TestCollectiveMatmul:
         monkeypatch.setenv("NF4TPU_COLLECTIVE_MATMUL", "-1")
         with pytest.raises(ValueError):
             env.collective_chunks()
+
+
+class TestMoETP:
+    """MoE (Mixtral-style) models under tensor parallelism: each expert's
+    gate/up columns and down K-chunks shard exactly like the dense MLP
+    (models.llama._moe_mlp), the router is replicated, and the psum happens
+    once on the accumulated expert sum."""
+
+    MOE_CFG = dataclasses.replace(
+        TP_CFG, num_experts=4, experts_per_token=2
+    )
+
+    @pytest.fixture(scope="class")
+    def moe_setup(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(tp=TP, dp=2)
+        params = init_params(self.MOE_CFG, seed=3)
+        return mesh, params
+
+    def test_prefill_matches_single_device(self, moe_setup):
+        mesh, params = moe_setup
+        cfg = self.MOE_CFG
+        tokens = jnp.arange(12, dtype=jnp.int32).reshape(2, 6) % cfg.vocab_size
+
+        ref_logits, _ = prefill(params, cfg, tokens)
+        sharded, _ = shard_params(localize_params(params, TP), mesh)
+        tp_logits, _ = tp_prefill(sharded, cfg, mesh, tokens)
+
+        np.testing.assert_allclose(
+            np.asarray(tp_logits, np.float32),
+            np.asarray(ref_logits, np.float32),
+            rtol=2e-2,
+            atol=2e-2,
+        )
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(tp_logits, np.float32), -1),
+            np.argmax(np.asarray(ref_logits, np.float32), -1),
+        )
+
+    def test_decode_matches_single_device(self, moe_setup):
+        mesh, params = moe_setup
+        cfg = self.MOE_CFG
+        seq = jnp.asarray([[3, 5, 7, 9], [2, 4, 6, 8]], jnp.int32)
+
+        _, ref_cache = prefill(params, cfg, seq)
+        sharded, _ = shard_params(localize_params(params, TP), mesh)
+        _, tp_cache = tp_prefill(sharded, cfg, mesh, seq)
+
+        tok = jnp.asarray([5, 9], dtype=jnp.int32)
+        pos = jnp.asarray([4, 4], dtype=jnp.int32)
+        ref_logits, _ = decode_step(params, cfg, tok, ref_cache, pos)
+        tp_logits, _ = tp_decode_step(sharded, cfg, mesh, tok, tp_cache, pos)
+
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(tp_logits, np.float32), -1),
+            np.argmax(np.asarray(ref_logits, np.float32), -1),
+        )
+
+    def test_expert_weights_sharded_on_lanes(self, moe_setup):
+        mesh, params = moe_setup
+        sharded, _ = shard_params(localize_params(params, TP), mesh)
+        gu = sharded.layers.w_gateup.packed  # [L, E, rows, lanes]
+        assert gu.ndim == 4
+        shard_shapes = {s.data.shape for s in gu.addressable_shards}
+        full = gu.shape
+        assert shard_shapes == {(full[0], full[1], full[2], full[3] // TP)}
+        dn = sharded.layers.w_down.packed
+        shard_shapes = {s.data.shape for s in dn.addressable_shards}
+        full = dn.shape
+        assert shard_shapes == {(full[0], full[1], full[2] // TP, full[3])}
+        router = sharded.layers.router
+        assert {s.data.shape for s in router.addressable_shards} == {router.shape}
+
+    def test_repack_tp_moe(self, moe_setup):
+        """A tp_shards=1 MoE checkpoint repacked to tp=TP bit-matches
+        quantizing with tp_shards=TP, through the TP forward."""
+        from nf4_tpu.parallel.tp import repack_tp
+
+        mesh, params_tp = moe_setup
+        cfg = self.MOE_CFG
+        cfg1 = dataclasses.replace(cfg, tp_shards=1)
+        params1 = init_params(cfg1, seed=3)  # same seed = same dense draws
+        reparams, recfg = repack_tp(params1, cfg1, TP)
+        assert recfg.tp_shards == TP
+
+        np.testing.assert_array_equal(
+            np.asarray(reparams.layers.w_gateup.packed),
+            np.asarray(params_tp.layers.w_gateup.packed),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reparams.layers.w_down.packed),
+            np.asarray(params_tp.layers.w_down.packed),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reparams.layers.w_down.scales),
+            np.asarray(params_tp.layers.w_down.scales),
+        )
+
+        tokens = jnp.asarray([[3, 5, 7, 9], [2, 4, 6, 8]], jnp.int32)
+        sharded, _ = shard_params(localize_params(reparams, TP), mesh)
+        want, _ = tp_prefill(
+            shard_params(localize_params(params_tp, TP), mesh)[0],
+            cfg, mesh, tokens,
+        )
+        got, _ = tp_prefill(sharded, recfg, mesh, tokens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

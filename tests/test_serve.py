@@ -308,6 +308,24 @@ class TestTPEngine:
         spec = cache.k.sharding.spec
         assert spec[1] == "dp", f"cache batch axis not dp-sharded: {spec}"
 
+    def test_tp_moe_generate_matches_single_device(self, tp_setup):
+        """A Mixtral-style MoE model served over the dp x tp mesh: expert
+        weights shard on their column/K dims (router replicated) and
+        generation is token-identical to the single-device engine."""
+        import dataclasses
+
+        cfg, _params, mesh = tp_setup
+        moe_cfg = dataclasses.replace(cfg, num_experts=2, experts_per_token=2)
+        params = init_params(moe_cfg, seed=4)
+        prompts = [[3, 5, 7], [11, 13]]
+
+        ref = Engine(params, moe_cfg, batch_size=2, eos_token=-1)
+        want = [r.tokens for r in ref.generate(prompts, max_new_tokens=5)]
+
+        eng = Engine(params, moe_cfg, batch_size=2, eos_token=-1, mesh=mesh)
+        got = [r.tokens for r in eng.generate(prompts, max_new_tokens=5)]
+        assert got == want
+
     def test_tp_multistep_decode_matches_single_step(self, tp_setup):
         """The lax.scan-over-shard_map decode path (decode_chunk > 1) under
         the dp x tp mesh must emit exactly the single-step TP tokens."""
