@@ -269,7 +269,11 @@ def main():
         from nf4_tpu.parallel.tp import localize_params, shard_params
 
         mesh = make_mesh(tp=args.tp, dp=1)
-        params, _ = shard_params(localize_params(params, args.tp), mesh)
+        params, _ = shard_params(
+            localize_params(params, args.tp, cfg.moe_shard),
+            mesh,
+            moe_shard=cfg.moe_shard,
+        )
         n_chips = args.tp
         print(f"tensor parallel: tp={args.tp} over {n_chips} devices")
 

@@ -122,6 +122,20 @@ class LlamaConfig:
     # num_experts=1 is the plain dense MLP.
     num_experts: int = 1
     experts_per_token: int = 2
+    # MoE sharding strategy under tensor parallelism:
+    # * "tensor": each expert's gate/up columns and down K-chunks split
+    #   over the tp axis like the dense MLP (experts packed with
+    #   tp_shards interleave/chunks).
+    # * "expert": the EXPERT axis shards instead — each device holds
+    #   num_experts/tp FULL-WIDTH experts (packed with shards=1).  Same
+    #   HBM traffic, but fewer and wider matmuls per device (better MXU
+    #   tiling at decode), and the tp degree is no longer baked into the
+    #   expert pack layout.  Requires num_experts % tp == 0.
+    moe_shard: str = "tensor"
+    # Runtime-only (set by parallel.tp.tp_local_config inside shard_map,
+    # never on checkpoints): the mesh axis experts are sharded over in
+    # "expert" mode, so _moe_mlp can offset local expert ids to global.
+    ep_axis: Optional[str] = None
     # Gemma-2 conventions (all optional / off by default):
     # tanh logit softcapping on attention scores and on final logits,
     # a query scale of query_pre_attn_scalar**-0.5 instead of
@@ -153,6 +167,17 @@ class LlamaConfig:
     @property
     def kv_dim(self) -> int:
         return self.num_kv_heads * self.head_dim
+
+    @property
+    def moe_groups(self) -> int:
+        """Shard interleave/chunk count the EXPERT weights are packed with:
+        tp_shards in "tensor" mode, always 1 in "expert" mode (each device
+        holds whole experts, so per-expert layouts are tp-independent)."""
+        if self.moe_shard not in ("tensor", "expert"):
+            raise ValueError(
+                f"moe_shard={self.moe_shard!r}; expected 'tensor' or 'expert'"
+            )
+        return self.tp_shards if self.moe_shard == "tensor" else 1
 
 
 Weight = Any  # PackedNF4 (quantized) or jax.Array (dense)
@@ -294,12 +319,13 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
                 _linear(dense(h, inter), cfg, shards=g),
                 None,
             )
+        ge = cfg.moe_groups
         gus, dns = [], []
         for _e in range(cfg.num_experts):
             gus.append(
-                _linear(fuse_rows([dense(inter, h), dense(inter, h)], g), cfg)
+                _linear(fuse_rows([dense(inter, h), dense(inter, h)], ge), cfg)
             )
-            dns.append(_linear(dense(h, inter), cfg, shards=g))
+            dns.append(_linear(dense(h, inter), cfg, shards=ge))
         stack = lambda ws: jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
         router = jnp.asarray(
             rng.standard_normal((cfg.num_experts, h)) * (h**-0.5),
@@ -395,12 +421,13 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
             fuse_rows([lw["bq"], lw["bk"], lw["bv"]], g), dtype=jnp.float32
         )
     if cfg.num_experts > 1:
+        ge = cfg.moe_groups
         stack = lambda ws: jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
         gu = stack(
             [
                 _linear(
                     fuse_rows(
-                        [lw[f"expert{e}.w_gate"], lw[f"expert{e}.w_up"]], g
+                        [lw[f"expert{e}.w_gate"], lw[f"expert{e}.w_up"]], ge
                     ),
                     cfg,
                 )
@@ -409,7 +436,7 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
         )
         dn = stack(
             [
-                _linear(lw[f"expert{e}.w_down"], cfg, shards=g)
+                _linear(lw[f"expert{e}.w_down"], cfg, shards=ge)
                 for e in range(cfg.num_experts)
             ]
         )
@@ -886,7 +913,10 @@ def _layer_forward(
             f"unknown activation {cfg.activation!r}; silu|gelu|gelu_tanh"
         )
 
-    if cfg.num_experts > 1:
+    # MoE predicate is the presence of a router, NOT cfg.num_experts > 1:
+    # under expert-parallel sharding the LOCAL expert count can be 1
+    # (tp == num_experts) while the MLP is still expert-stacked.
+    if lp.router is not None:
         assert ll is None or (ll.gateup is None and ll.down is None), (
             "LoRA on MoE expert MLPs is not supported — adapt the "
             "attention projections (targets=('wqkv', 'wo'))"
@@ -933,17 +963,28 @@ def _moe_mlp(cfg: LlamaConfig, mlp_in, lp: LayerParams, act, reduce_fn):
     small-scale TPU MoE trade (dispatch via collectives only pays off
     once experts are sharded over many chips).
 
-    Under tensor parallelism each expert's gate/up columns and down
-    K-chunks shard exactly like the dense MLP; the psum happens ONCE on
-    the accumulated expert sum (partials add across experts before the
+    Under tensor parallelism ("tensor" moe_shard) each expert's gate/up
+    columns and down K-chunks shard exactly like the dense MLP; under
+    "expert" moe_shard the EXPERT axis shards instead — each device scans
+    its num_experts/tp full-width local experts, masking by GLOBAL expert
+    id (local id + axis_index offset via ``cfg.ep_axis``, router
+    replicated).  Either way the psum happens ONCE on the accumulated
+    expert sum (partials add across experts/devices before the
     reduction)."""
     router_logits = jnp.dot(
         mlp_in.astype(jnp.float32),
         lp.router.T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
-    )  # [B, S, E]
+    )  # [B, S, E_global] — router is always replicated/full-width
     topv, topi = jax.lax.top_k(router_logits, cfg.experts_per_token)
     weights = jax.nn.softmax(topv, axis=-1)  # [B, S, k]
+    # Local-to-global expert id offset ("expert" sharding inside shard_map;
+    # cfg.num_experts is the LOCAL count there).
+    off = (
+        jax.lax.axis_index(cfg.ep_axis) * cfg.num_experts
+        if cfg.ep_axis is not None
+        else 0
+    )
 
     def body(acc, xs):
         e, gu_e, dn_e = xs
@@ -951,11 +992,11 @@ def _moe_mlp(cfg: LlamaConfig, mlp_in, lp: LayerParams, act, reduce_fn):
         gate, up = split_fused(
             gateup,
             (cfg.intermediate_size, cfg.intermediate_size),
-            groups=cfg.tp_shards,
+            groups=cfg.moe_groups,
         )
         h = act(gate.astype(jnp.float32)).astype(up.dtype) * up
         out_e = _matmul(h, dn_e, out_dtype=jnp.float32)
-        w_e = jnp.where(topi == e, weights, 0.0).sum(axis=-1)  # [B, S]
+        w_e = jnp.where(topi == e + off, weights, 0.0).sum(axis=-1)  # [B, S]
         return acc + w_e[..., None] * out_e, None
 
     b, s_len, _ = mlp_in.shape

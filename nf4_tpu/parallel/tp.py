@@ -57,8 +57,12 @@ _ROW_PARALLEL = ("wo", "w_down")
 _REPLICATED = ("input_norm", "post_attn_norm")
 
 
-def tp_local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
-    """The per-device slice of the architecture."""
+def tp_local_config(cfg: LlamaConfig, tp: int, axis: str = "tp") -> LlamaConfig:
+    """The per-device slice of the architecture.
+
+    MoE "expert" sharding keeps each expert full-width and divides the
+    expert COUNT instead, recording the mesh axis in ``ep_axis`` so
+    ``_moe_mlp`` can offset local expert ids to global ones."""
     assert cfg.num_heads % tp == 0, f"num_heads {cfg.num_heads} % tp {tp} != 0"
     assert cfg.num_kv_heads % tp == 0, (
         f"num_kv_heads {cfg.num_kv_heads} % tp {tp} != 0 "
@@ -67,14 +71,28 @@ def tp_local_config(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     assert cfg.tp_shards == tp, (
         f"params were packed for tp_shards={cfg.tp_shards} but the mesh has "
         f"tp={tp}; fused column-parallel weights are interleaved per shard, "
-        "so the degrees must match (re-quantize with the right tp_shards)"
+        "so the degrees must match (re-quantize with the right tp_shards, "
+        "or repack_tp the checkpoint)"
     )
+    expert_mode = cfg.num_experts > 1 and cfg.moe_shard == "expert"
+    moe_fields = {}
+    if expert_mode:
+        assert cfg.num_experts % tp == 0, (
+            f"num_experts {cfg.num_experts} % tp {tp} != 0 "
+            "(moe_shard='expert' needs a whole number of experts per device)"
+        )
+        moe_fields = dict(num_experts=cfg.num_experts // tp, ep_axis=axis)
     return dataclasses.replace(
         cfg,
         num_heads=cfg.num_heads // tp,
         num_kv_heads=cfg.num_kv_heads // tp,
-        intermediate_size=cfg.intermediate_size // tp,
+        intermediate_size=(
+            cfg.intermediate_size
+            if expert_mode
+            else cfg.intermediate_size // tp
+        ),
         tp_shards=1,
+        **moe_fields,
     )
 
 
@@ -110,16 +128,32 @@ def _localize_weight(w, tp: int, kind: str):
     )
 
 
-def localize_params(params: LlamaParams, tp: int) -> LlamaParams:
+def localize_params(
+    params: LlamaParams, tp: int, moe_shard: str = "tensor"
+) -> LlamaParams:
     """Params with static metadata describing per-device local shapes.
 
     Leaves stay global; only the aux data changes.  The result is what gets
     passed through shard_map (which slices leaves but keeps aux data).
+
+    ``moe_shard="expert"``: expert weights shard on their leading E axis,
+    so their per-expert metadata (logical shapes, pack groups) is already
+    local — only the attention projections get localized.
     """
     lp = params.layers
+    expert_mode = lp.router is not None and moe_shard == "expert"
+    mlp_fields = () if expert_mode else ("w_gateup", "w_down")
     new_layers = lp.replace(
-        **{k: _localize_weight(getattr(lp, k), tp, "col") for k in _COL_PARALLEL},
-        **{k: _localize_weight(getattr(lp, k), tp, "row") for k in _ROW_PARALLEL},
+        **{
+            k: _localize_weight(getattr(lp, k), tp, "col")
+            for k in _COL_PARALLEL
+            if k == "wqkv" or k in mlp_fields
+        },
+        **{
+            k: _localize_weight(getattr(lp, k), tp, "row")
+            for k in _ROW_PARALLEL
+            if k == "wo" or k in mlp_fields
+        },
     )
     # lm_head is vocab(=out)-sharded; quantized heads need local metadata.
     lm_head = _localize_weight(params.lm_head, tp, "col")
@@ -141,27 +175,39 @@ def _weight_spec(w, kind: str, axis: str):
         tail = [None] * (pos_from_end - 1)
         return P(*lead, axis, *tail)
 
+    def expert(arr):  # E is dim 1 of [L, E, ...]
+        return P(None, axis, *([None] * (arr.ndim - 2)))
+
     if isinstance(w, (PackedNF4, PackedInt8)):
         packed = w.values if isinstance(w, PackedInt8) else w.packed
         if kind == "col":  # lane dim (last) holds out_features
             spec = trailing(packed, 1)
+        elif kind == "expert":  # leading stacked expert axis
+            spec = expert(packed)
         else:  # sublane dim (second-to-last) holds K rows/chunks
             spec = trailing(packed, 2)
         if isinstance(w, PackedInt8):
             return w.replace(values=spec, scales=spec)
         return w.replace(packed=spec, scales=spec)
     # Dense [..., m, n]: col-parallel shards m, row-parallel n.
+    if kind == "expert":
+        return expert(w)
     return trailing(w, 2) if kind == "col" else trailing(w, 1)
 
 
-def param_specs(params: LlamaParams, axis: str = "tp") -> LlamaParams:
+def param_specs(
+    params: LlamaParams, axis: str = "tp", moe_shard: str = "tensor"
+) -> LlamaParams:
     """A params-structured pytree of PartitionSpecs (for shard_map/device_put)."""
     lp = params.layers
+    expert_mode = lp.router is not None and moe_shard == "expert"
     fields = {}
     for k in _COL_PARALLEL:
-        fields[k] = _weight_spec(getattr(lp, k), "col", axis)
+        kind = "expert" if expert_mode and k == "w_gateup" else "col"
+        fields[k] = _weight_spec(getattr(lp, k), kind, axis)
     for k in _ROW_PARALLEL:
-        fields[k] = _weight_spec(getattr(lp, k), "row", axis)
+        kind = "expert" if expert_mode and k == "w_down" else "row"
+        fields[k] = _weight_spec(getattr(lp, k), kind, axis)
     for k in _REPLICATED:
         fields[k] = P(None, None)
     if lp.qkv_bias is not None:
@@ -198,10 +244,10 @@ def cache_spec(axis: str = "tp", data_axis=None, kv_quant: bool = False) -> KVCa
 
 
 def shard_params(
-    params: LlamaParams, mesh: Mesh, axis: str = "tp"
+    params: LlamaParams, mesh: Mesh, axis: str = "tp", moe_shard: str = "tensor"
 ) -> Tuple[LlamaParams, LlamaParams]:
     """device_put params onto the mesh; returns (sharded_params, specs)."""
-    specs = param_specs(params, axis)
+    specs = param_specs(params, axis, moe_shard)
     sharded = jax.tree.map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
         params,
@@ -282,10 +328,13 @@ def repack_tp(params: LlamaParams, cfg: LlamaConfig, tp: int):
     lp = params.layers
     fields = {
         "wqkv": repack_col(lp.wqkv, "wqkv"),
-        "w_gateup": repack_col(lp.w_gateup, "w_gateup"),
         "wo": repack_row(lp.wo),
-        "w_down": repack_row(lp.w_down),
     }
+    # moe_shard="expert": expert weights are packed with groups=1 at any
+    # tp degree (whole experts per device) — only attention repacks.
+    if cfg.num_experts == 1 or cfg.moe_shard == "tensor":
+        fields["w_gateup"] = repack_col(lp.w_gateup, "w_gateup")
+        fields["w_down"] = repack_row(lp.w_down)
     if lp.qkv_bias is not None:
         fields["qkv_bias"] = jnp.take(
             lp.qkv_bias, jnp.asarray(col_perm("wqkv")), axis=-1
@@ -323,8 +372,8 @@ def tp_forward(
     over ``axis``, new cache).
     """
     tp = mesh.shape[axis]
-    cfg_local = tp_local_config(cfg, tp)
-    specs = param_specs(params_local, axis)
+    cfg_local = tp_local_config(cfg, tp, axis)
+    specs = param_specs(params_local, axis, cfg.moe_shard)
     da = data_axis
     logits_spec = P(da, axis) if last_only else P(da, None, axis)
 

@@ -397,7 +397,10 @@ class Engine:
             self.data_axis = data_axis
             tp = mesh.shape[tp_axis]
             self.params, _ = shard_params(
-                localize_params(params, tp), mesh, tp_axis
+                localize_params(params, tp, cfg.moe_shard),
+                mesh,
+                tp_axis,
+                cfg.moe_shard,
             )
             self._decode = jax.jit(
                 functools.partial(

@@ -231,7 +231,7 @@ def make_train_step(
             f"== 0 (got {cfg.vocab_size}) so packed-lane shard boundaries "
             "match vocab shard boundaries"
         )
-        cfg_local = tp_local_config(cfg, tp)
+        cfg_local = tp_local_config(cfg, tp, model_axis)
         da = (
             data_axis
             if data_axis in mesh.shape and mesh.shape[data_axis] > 1
@@ -245,7 +245,7 @@ def make_train_step(
                 "(a tp_shards=1 adapter's fused rows are interleaved "
                 "differently and would silently train wrong channels)"
             )
-            p_local = localize_params(params, tp)
+            p_local = localize_params(params, tp, cfg.moe_shard)
             lspecs = lora_partition_specs(lora, model_axis)
             rep = _lora_replicated_mask(lora)
 
@@ -270,7 +270,7 @@ def make_train_step(
                 tp_grads,
                 mesh=mesh,
                 in_specs=(
-                    param_specs(p_local, model_axis), lspecs,
+                    param_specs(p_local, model_axis, cfg.moe_shard), lspecs,
                     P(da, None), P(da, None), P(da, None), P(da, None),
                 ),
                 out_specs=(P(), lspecs),

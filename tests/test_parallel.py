@@ -428,3 +428,107 @@ class TestMoETP:
         )
         got, _ = tp_prefill(sharded, recfg, mesh, tokens)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestMoEEP:
+    """moe_shard="expert": the EXPERT axis shards over tp — each device
+    scans num_experts/tp FULL-WIDTH local experts masked by global expert
+    id (ep_axis offset), router replicated.  Covers the E_loc == 1 edge
+    (tp == num_experts), where the dense-vs-MoE branch must key on the
+    router's presence, not the local expert count."""
+
+    EP_CFG = dataclasses.replace(
+        TP_CFG, num_experts=TP, experts_per_token=2, moe_shard="expert"
+    )
+
+    @pytest.fixture(scope="class")
+    def ep_setup(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(tp=TP, dp=2)
+        params = init_params(self.EP_CFG, seed=5)
+        return mesh, params
+
+    def _shard(self, params, mesh):
+        return shard_params(
+            localize_params(params, TP, "expert"), mesh, moe_shard="expert"
+        )[0]
+
+    def test_prefill_decode_match_single_device(self, ep_setup):
+        mesh, params = ep_setup
+        cfg = self.EP_CFG
+        tokens = jnp.asarray([[3, 5, 7, 9], [2, 4, 6, 8]], jnp.int32)
+
+        ref_logits, ref_cache = prefill(params, cfg, tokens)
+        sharded = self._shard(params, mesh)
+        tp_logits, tp_cache = tp_prefill(sharded, cfg, mesh, tokens)
+        np.testing.assert_allclose(
+            np.asarray(tp_logits, np.float32),
+            np.asarray(ref_logits, np.float32),
+            rtol=2e-2,
+            atol=2e-2,
+        )
+        tok = jnp.asarray([5, 9], jnp.int32)
+        pos = jnp.asarray([4, 4], jnp.int32)
+        rl, _ = decode_step(params, cfg, tok, ref_cache, pos)
+        tl, _ = tp_decode_step(sharded, cfg, mesh, tok, tp_cache, pos)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(tl, np.float32), -1),
+            np.argmax(np.asarray(rl, np.float32), -1),
+        )
+
+    def test_experts_sharded_full_width(self, ep_setup):
+        mesh, params = ep_setup
+        sharded = self._shard(params, mesh)
+        gu = sharded.layers.w_gateup.packed  # [L, E, rows, lanes]
+        shapes = {s.data.shape for s in gu.addressable_shards}
+        assert shapes == {(gu.shape[0], gu.shape[1] // TP, gu.shape[2], gu.shape[3])}
+        dn = sharded.layers.w_down.packed
+        shapes = {s.data.shape for s in dn.addressable_shards}
+        assert shapes == {(dn.shape[0], dn.shape[1] // TP, dn.shape[2], dn.shape[3])}
+
+    def test_engine_ep_generate(self, ep_setup):
+        """Engine over the dp x tp mesh with two local experts per device
+        (num_experts = 2 * tp) is token-identical to single device."""
+        from nf4_tpu.serve.engine import Engine
+
+        mesh, _ = ep_setup
+        cfg = dataclasses.replace(self.EP_CFG, num_experts=2 * TP)
+        params = init_params(cfg, seed=6)
+        prompts = [[3, 5, 7], [11, 13]]
+        want = [
+            r.tokens
+            for r in Engine(params, cfg, batch_size=2, eos_token=-1).generate(
+                prompts, max_new_tokens=4
+            )
+        ]
+        got = [
+            r.tokens
+            for r in Engine(
+                params, cfg, batch_size=2, eos_token=-1, mesh=mesh
+            ).generate(prompts, max_new_tokens=4)
+        ]
+        assert got == want
+
+    def test_indivisible_experts_rejected(self):
+        cfg = dataclasses.replace(self.EP_CFG, num_experts=3)
+        with pytest.raises(AssertionError):
+            tp_local_config(cfg, TP)
+
+    def test_repack_tp_leaves_experts_alone(self, ep_setup):
+        from nf4_tpu.parallel.tp import repack_tp
+
+        _, params = ep_setup
+        cfg1 = dataclasses.replace(self.EP_CFG, tp_shards=1)
+        params1 = init_params(cfg1, seed=5)
+        reparams, recfg = repack_tp(params1, cfg1, TP)
+        assert recfg.tp_shards == TP
+        # Expert weights are tp-independent in expert mode: byte-identical.
+        np.testing.assert_array_equal(
+            np.asarray(reparams.layers.w_gateup.packed),
+            np.asarray(params.layers.w_gateup.packed),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reparams.layers.wqkv.packed),
+            np.asarray(params.layers.wqkv.packed),
+        )
