@@ -325,13 +325,17 @@ class TestMoEInt8:
 
 
 class TestMoETPGuard:
-    def test_tp_raises_clearly(self, model):
+    def test_unrepacked_localize_raises_clearly(self, model):
+        """MoE TP is supported (tests/test_parallel.py TestMoETP), but a
+        shards=1 checkpoint still needs repack_tp first — the guard names
+        the fix instead of failing deep inside shard_map."""
         from nf4_tpu.parallel.tp import localize_params, repack_tp
 
-        with pytest.raises(AssertionError, match="MoE"):
+        with pytest.raises(AssertionError, match="repack_tp|tp_shards"):
             localize_params(model, 2)
-        with pytest.raises(AssertionError, match="MoE"):
-            repack_tp(model, CFG, 2)
+        p2, cfg2 = repack_tp(model, CFG, 2)
+        assert cfg2.tp_shards == 2
+        localize_params(p2, 2)  # repacked checkpoints localize fine
 
 
 class TestMoEDataParallel:
