@@ -121,25 +121,49 @@ def main():
 
         int8_runs.append((m, n, jax.jit(step8), xb, p8.nbytes))
 
-    # 6 interleaved passes: the shared chip drifts up to ~2x on tens of
-    # seconds.  Each SHAPE keeps its own best SAME-PASS fraction (numerator
-    # and denominator under the same load window); the arm's headline is the
-    # bytes-weighted harmonic combination of the per-shape bests — i.e. the
-    # bandwidth fraction of streaming all weights with each shape at its
-    # best sustained rate.  Coupling both shapes to a single pass (the r2
-    # scheme) made the headline the MINIMUM over one noise window instead of
-    # the kernel's sustained rate; per-shape best-of decouples the windows
-    # while keeping every fraction same-pass-calibrated.
-    best_shape = {}  # (store, m, n) -> (frac, gbps)
+    # Interleaved passes: the shared chip drifts up to ~2x on tens of
+    # seconds.  Each SHAPE keeps its own best CREDIBLE SAME-PASS fraction
+    # (numerator and denominator under the same load window); the arm's
+    # headline is the bytes-weighted harmonic combination of the per-shape
+    # bests — i.e. the bandwidth fraction of streaming all weights with
+    # each shape at its best sustained rate.  Coupling both shapes to a
+    # single pass (the r2 scheme) made the headline the MINIMUM over one
+    # noise window instead of the kernel's sustained rate; per-shape
+    # best-of decouples the windows while keeping every fraction
+    # same-pass-calibrated.
+    #
+    # Credibility filter: under heavy drift the marginal-chain estimator
+    # occasionally undershoots (its two chain lengths land in different
+    # load windows), producing impossible captures (>100% of roofline, or
+    # a "weight stream" above the chip's physical HBM rate).  Those are
+    # measurement artifacts, not kernel speed — reject them instead of
+    # letting best-of absorb them (r3: a 1468 GB/s artifact made the
+    # combined headline read 113% of roofline).
+    DATASHEET_GBPS = 850.0  # v5e HBM 819 GB/s + ~4% methodology slack
+    best_shape = {}  # (store, m, n) -> (frac, gbps), credible only
+    # Compile every arm BEFORE starting the pass clock: first compiles go
+    # through the remote helper (10-40s each) and must not eat the
+    # measurement budget.
+    t0c = time.monotonic()
+    _ = float(np.asarray(mm(x0)[0, 0], np.float32))
+    for _, _, fn, xb, _ in fused_runs + int8_runs:
+        _ = float(np.asarray(fn(xb)[0, 0], np.float32))
+    log(f"arm compiles: {time.monotonic() - t0c:.0f}s")
     t_start = time.monotonic()
-    for pass_idx in range(8):
+    for pass_idx in range(16):
         if pass_idx:
-            if time.monotonic() - t_start > 600:
+            if time.monotonic() - t_start > 360:
                 log(f"pass time budget reached; stopping after pass {pass_idx - 1}")
                 break
-            time.sleep(5)  # sample distinct co-tenant windows, not one burst
+            time.sleep(3)  # sample distinct co-tenant windows, not one burst
         dt = marginal_chain(mm, x0)
         roofline_gbps = wd.size * 2 / dt / 1e9
+        if roofline_gbps > DATASHEET_GBPS:
+            log(
+                f"[pass {pass_idx}] dense calibration {roofline_gbps:.0f} GB/s "
+                f"> physical {DATASHEET_GBPS:.0f} — artifact, pass skipped"
+            )
+            continue
         log(f"[pass {pass_idx}] dense-matmul roofline: {dt*1e3:.3f} ms -> {roofline_gbps:.0f} GB/s")
         for label, runs, store in (
             ("fused", fused_runs, "4bit"),
@@ -149,13 +173,30 @@ def main():
                 dt = marginal_chain(fn, xb)
                 gbps = wbytes / dt / 1e9
                 frac_p = gbps / roofline_gbps
+                credible = gbps <= DATASHEET_GBPS and frac_p <= 1.0
                 log(
                     f"[pass {pass_idx}] {label} {m}x{n} b={batch}: {dt*1e3:.3f} ms -> "
                     f"{gbps:.0f} GB/s weight stream ({frac_p*100:.1f}% of same-pass roofline)"
+                    + ("" if credible else " [artifact — rejected]")
                 )
+                if not credible:
+                    continue
                 key = (store, m, n)
                 if key not in best_shape or frac_p > best_shape[key][0]:
                     best_shape[key] = (frac_p, gbps)
+    for label, runs, store in (
+        ("fused", fused_runs, "4bit"),
+        ("int8-recode", int8_runs, "int8"),
+    ):
+        for m, n, fn, xb, wbytes in runs:
+            if (store, m, n) not in best_shape:
+                # Every pass rejected (pathological drift): one last
+                # un-thresholded capture, capped at physical credibility.
+                dt = marginal_chain(fn, xb)
+                gbps = min(wbytes / dt / 1e9, DATASHEET_GBPS)
+                best_shape[(store, m, n)] = (
+                    min(gbps / roofline_gbps, 1.0), gbps
+                )
 
     def combine(store, runs):
         total_bytes = sum(r[4] for r in runs)
@@ -171,9 +212,12 @@ def main():
     # --- 3. Side: dequant-only, reference protocol-B sizes ---------------
     # (reference benchmark_optimized.py:163-167: 1K/4K/8K square weights)
     # Exact (bit-exact select-tree) and fast (bf16 byte-table) paths.
+    # Skipped when the pass loop ate the time budget — the headline JSON
+    # line must always print before any driver-side timeout.
     from nf4_tpu.ops.dequant import dequantize_t_fast
 
-    for size in (1024, 4096, 8192):
+    sizes = (1024, 4096, 8192) if time.monotonic() - t_start < 480 else ()
+    for size in sizes:
         w = (rng.standard_normal((size, size)) * 0.02).astype(np.float32)
         pw = quantize_for_tpu(w, dtype=jnp.bfloat16)
         scales0 = pw.scales

@@ -241,6 +241,25 @@ MIXTRAL_8X7B = LlamaConfig(
     experts_per_token=2,
 )
 
+# Qwen3-30B-A3B (Qwen3-MoE: 128 experts, top-8 renormalized routing,
+# per-expert width 768 = HF moe_intermediate_size, per-head q/k RMSNorm).
+QWEN3_MOE_A3B = LlamaConfig(
+    vocab_size=151936,
+    hidden_size=2048,
+    intermediate_size=768,
+    num_layers=48,
+    num_heads=32,
+    num_kv_heads=4,
+    head_dim=128,
+    rope_theta=1_000_000.0,
+    rms_norm_eps=1e-6,
+    max_seq_len=32768,
+    qk_norm=True,
+    num_experts=128,
+    experts_per_token=8,
+    moe_norm_topk=True,
+)
+
 # Llama-3.1-8B: same weights shape as 3.0 but 128k context via the
 # "llama3" rope scaling (HF config.json rope_scaling).
 LLAMA3_1_8B = LlamaConfig(
@@ -285,6 +304,7 @@ _REGISTRY = {
     "gemma3-4b": GEMMA3_4B,
     "qwen3-8b": QWEN3_8B,
     "mixtral-8x7b": MIXTRAL_8X7B,
+    "qwen3-30b-a3b": QWEN3_MOE_A3B,
     "llama3-70b": LLAMA3_70B,
 }
 

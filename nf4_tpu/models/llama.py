@@ -122,6 +122,12 @@ class LlamaConfig:
     # num_experts=1 is the plain dense MLP.
     num_experts: int = 1
     experts_per_token: int = 2
+    # Routing-weight normalization (HF ``norm_topk_prob``): True (Mixtral,
+    # Qwen3-MoE) renormalizes the selected experts' weights to sum to 1
+    # (= softmax over the top-k logits); False (Qwen1.5/2-MoE-style
+    # checkpoints with norm_topk_prob=false) keeps the FULL-softmax
+    # probabilities of the selected experts un-renormalized.
+    moe_norm_topk: bool = True
     # MoE sharding strategy under tensor parallelism:
     # * "tensor": each expert's gate/up columns and down K-chunks split
     #   over the tp axis like the dense MLP (experts packed with
@@ -977,7 +983,16 @@ def _moe_mlp(cfg: LlamaConfig, mlp_in, lp: LayerParams, act, reduce_fn):
         preferred_element_type=jnp.float32,
     )  # [B, S, E_global] — router is always replicated/full-width
     topv, topi = jax.lax.top_k(router_logits, cfg.experts_per_token)
-    weights = jax.nn.softmax(topv, axis=-1)  # [B, S, k]
+    if cfg.moe_norm_topk:
+        # Renormalized over the selected experts (= softmax of the top-k
+        # logits): Mixtral, Qwen3-MoE (norm_topk_prob=true).
+        weights = jax.nn.softmax(topv, axis=-1)  # [B, S, k]
+    else:
+        # norm_topk_prob=false (Qwen1.5/2-MoE-style): the full-softmax
+        # probabilities of the selected experts, NOT renormalized.
+        weights = jnp.take_along_axis(
+            jax.nn.softmax(router_logits, axis=-1), topi, axis=-1
+        )
     # Local-to-global expert id offset ("expert" sharding inside shard_map;
     # cfg.num_experts is the LOCAL count there).
     off = (

@@ -94,12 +94,17 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
         rope_scaling=_parse_rope_scaling(
             hf.get("rope_scaling"), hf.get("max_position_embeddings")
         ),
-        num_experts=int(hf.get("num_local_experts", 1) or 1),
+        num_experts=int(
+            hf.get("num_local_experts") or hf.get("num_experts") or 1
+        ),
         experts_per_token=int(hf.get("num_experts_per_tok", 2) or 2),
+        # HF norm_topk_prob (Qwen-MoE family): absent means the Mixtral
+        # convention (renormalize over the selected experts).
+        moe_norm_topk=bool(hf.get("norm_topk_prob", True)),
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         attn_bias=bool(hf.get("attention_bias", False))
         or hf.get("model_type") == "qwen2",
-        qk_norm=hf.get("model_type") == "qwen3",
+        qk_norm=hf.get("model_type") in ("qwen3", "qwen3_moe"),
         max_seq_len=min(int(hf.get("max_position_embeddings", 2048)), 8192),
         sliding_window=(
             int(hf["sliding_window"]) if hf.get("sliding_window") else None
@@ -163,6 +168,22 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
             rmsnorm_one_plus=is_gemma,
             scale_embeddings=is_gemma,
         )
+    if kwargs["num_experts"] > 1:
+        # Qwen3-MoE: per-expert MLP width is moe_intermediate_size (the
+        # top-level intermediate_size is the dense width, unused when every
+        # layer is sparse).  Mixed dense/sparse stacks and shared experts
+        # (Qwen2-MoE) are not supported — fail loudly, not wrongly.
+        if hf.get("moe_intermediate_size"):
+            kwargs["intermediate_size"] = int(hf["moe_intermediate_size"])
+        if hf.get("shared_expert_intermediate_size"):
+            raise ValueError(
+                "shared-expert MoE (Qwen2-MoE style) is not supported"
+            )
+        if hf.get("mlp_only_layers"):
+            raise ValueError(
+                "mixed dense/sparse layer stacks (mlp_only_layers) are "
+                "not supported"
+            )
     kwargs.update(overrides)
     return LlamaConfig(**kwargs)
 
@@ -186,6 +207,10 @@ _HF_EXPERT_RE = re.compile(
     r"block_sparse_moe\.experts\.(\d+)\.w([123])\.weight"
 )
 _EXPERT_W = {"1": "w_gate", "2": "w_down", "3": "w_up"}
+# Qwen3-MoE (and OLMoE-style) expert naming: mlp.experts.N.{gate,up,down}_proj.
+_HF_QWEN_EXPERT_RE = re.compile(
+    r"mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight"
+)
 
 _HF_TO_OURS = {
     "self_attn.q_proj.weight": "wq",
@@ -198,6 +223,8 @@ _HF_TO_OURS = {
     # Mixtral MoE router; per-expert weights are matched by
     # _HF_EXPERT_RE below (w1=gate, w3=up, w2=down).
     "block_sparse_moe.gate.weight": "router",
+    # Qwen3-MoE router (experts matched by _HF_QWEN_EXPERT_RE).
+    "mlp.gate.weight": "router",
     # Qwen3 per-head q/k norms.
     "self_attn.q_norm.weight": "q_norm",
     "self_attn.k_norm.weight": "k_norm",
@@ -310,6 +337,10 @@ def load_hf_llama(
                 me = _HF_EXPERT_RE.match(sub)
                 if me:
                     ours = f"expert{int(me.group(1))}.{_EXPERT_W[me.group(2)]}"
+                else:
+                    me = _HF_QWEN_EXPERT_RE.match(sub)
+                    if me:
+                        ours = f"expert{int(me.group(1))}.w_{me.group(2)}"
             # Phi-3 ships q/k/v and gate/up PRE-FUSED (plain [q;k;v] /
             # [gate;up] row concat); split here so the pack-time
             # tp-interleaved fusion sees separate tensors.
