@@ -140,7 +140,13 @@ def main():
     # letting best-of absorb them (r3: a 1468 GB/s artifact made the
     # combined headline read 113% of roofline).
     DATASHEET_GBPS = 850.0  # v5e HBM 819 GB/s + ~4% methodology slack
-    best_shape = {}  # (store, m, n) -> (frac, gbps), credible only
+    # (store, m, n) -> list of credible (frac, gbps, roofline_gbps) captures.
+    # Selection happens AFTER the loop so it can require the chosen pass's
+    # denominator to be near the best credible roofline (a congested dense
+    # calibration shrinks the denominator and inflates frac toward the 1.0
+    # cap — the optimistic-selection bias ADVICE r3 flagged).
+    shape_caps = {}
+    credible_rooflines = []
     # Compile every arm BEFORE starting the pass clock: first compiles go
     # through the remote helper (10-40s each) and must not eat the
     # measurement budget.
@@ -165,6 +171,7 @@ def main():
             )
             continue
         log(f"[pass {pass_idx}] dense-matmul roofline: {dt*1e3:.3f} ms -> {roofline_gbps:.0f} GB/s")
+        credible_rooflines.append(roofline_gbps)
         for label, runs, store in (
             ("fused", fused_runs, "4bit"),
             ("int8-recode", int8_runs, "int8"),
@@ -181,9 +188,32 @@ def main():
                 )
                 if not credible:
                     continue
-                key = (store, m, n)
-                if key not in best_shape or frac_p > best_shape[key][0]:
-                    best_shape[key] = (frac_p, gbps)
+                shape_caps.setdefault((store, m, n), []).append(
+                    (frac_p, gbps, roofline_gbps)
+                )
+
+    # Select per-shape best among captures whose SAME-PASS roofline was
+    # within 70% of the best credible roofline seen — a pass whose dense
+    # calibration ran congested (small denominator) cannot donate its
+    # inflated fraction to the headline.  Fall back to all credible
+    # captures only if no pass cleared the band.
+    best_roofline = max(credible_rooflines) if credible_rooflines else None
+    best_shape = {}  # (store, m, n) -> (frac, gbps)
+    for key, caps in shape_caps.items():
+        banded = (
+            [c for c in caps if c[2] >= 0.7 * best_roofline]
+            if best_roofline
+            else caps
+        )
+        pool = banded or caps
+        frac_p, gbps, _ = max(pool, key=lambda c: c[0])
+        med = sorted(c[0] for c in caps)[len(caps) // 2]
+        log(
+            f"selected {key[0]} {key[1]}x{key[2]}: best-in-band "
+            f"{frac_p*100:.1f}% ({gbps:.0f} GB/s) over {len(pool)}/{len(caps)} "
+            f"captures; credible median {med*100:.1f}%"
+        )
+        best_shape[key] = (frac_p, gbps)
     for label, runs, store in (
         ("fused", fused_runs, "4bit"),
         ("int8-recode", int8_runs, "int8"),
@@ -191,11 +221,19 @@ def main():
         for m, n, fn, xb, wbytes in runs:
             if (store, m, n) not in best_shape:
                 # Every pass rejected (pathological drift): one last
-                # un-thresholded capture, capped at physical credibility.
+                # capture against a FRESH same-window dense calibration
+                # (not a roofline leaked from a possibly-rejected pass),
+                # capped at physical credibility.
+                dtd = marginal_chain(mm, x0)
+                fb_roofline = min(wd.size * 2 / dtd / 1e9, DATASHEET_GBPS)
                 dt = marginal_chain(fn, xb)
                 gbps = min(wbytes / dt / 1e9, DATASHEET_GBPS)
+                log(
+                    f"fallback capture {store} {m}x{n}: {gbps:.0f} GB/s vs "
+                    f"fresh roofline {fb_roofline:.0f} GB/s"
+                )
                 best_shape[(store, m, n)] = (
-                    min(gbps / roofline_gbps, 1.0), gbps
+                    min(gbps / fb_roofline, 1.0), gbps
                 )
 
     def combine(store, runs):

@@ -253,6 +253,10 @@ QWEN3_MOE_A3B = LlamaConfig(
     head_dim=128,
     rope_theta=1_000_000.0,
     rms_norm_eps=1e-6,
+    # HF ships max_position_embeddings=40960; 32768 here is a deliberate
+    # KV-cache bound (max_seq_len sizes the preallocated cache, and the
+    # HF-loader path independently caps at 8192).  Override at load time
+    # for longer contexts: hf_config_to_llama(..., max_seq_len=40960).
     max_seq_len=32768,
     qk_norm=True,
     num_experts=128,

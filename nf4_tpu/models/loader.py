@@ -6,6 +6,11 @@ resume: absent").  The TPU build supplies the full path: load a dense HF
 Llama checkpoint from local safetensors shards, quantize each linear to NF4
 (bit-exact bnb semantics via the oracle), and also save/load the *packed*
 TPU format so a model is quantized once and reloaded fast.
+
+Pre-quantized bitsandbytes-serialized checkpoints ("*-bnb-4bit": packed
+uint8 weights + quant-state sidecar tensors) load through the same
+``load_hf_llama`` — detected per tensor, grouped via ``nf4.bnb_checkpoint``,
+and REPACKED into the TPU layout without requantization.
 """
 
 from __future__ import annotations
@@ -17,7 +22,18 @@ from typing import Dict, Iterator, Tuple
 
 import numpy as np
 
+from ..nf4.bnb_checkpoint import (
+    BnbWeightGroup,
+    is_bnb_sidecar,
+    qdense_from_group,
+)
+from ..nf4.format import QDense
 from .llama import LlamaConfig, LlamaParams
+
+
+def _rows(t, r0: int, r1: int):
+    """Out-feature row slice for dense arrays and QDense alike."""
+    return t.rows(r0, r1) if isinstance(t, QDense) else t[r0:r1]
 
 __all__ = [
     "load_hf_llama",
@@ -184,6 +200,41 @@ def hf_config_to_llama(cfg_path: str, **overrides) -> LlamaConfig:
                 "mixed dense/sparse layer stacks (mlp_only_layers) are "
                 "not supported"
             )
+        # HF Qwen-MoE: decoder_sparse_step > 1 makes a layer dense unless
+        # (idx+1) % step == 0; treating such a stack as all-sparse would
+        # make the streaming loader wait forever for expert keys that the
+        # dense layers don't have.  Fail loudly, not obscurely.
+        if int(hf.get("decoder_sparse_step", 1) or 1) != 1:
+            raise ValueError(
+                "mixed dense/sparse layer stacks (decoder_sparse_step > 1) "
+                "are not supported"
+            )
+    # Pre-quantized checkpoints: transformers records the bitsandbytes
+    # setup under quantization_config; the safetensors then carry packed
+    # uint8 weights + quant-state sidecars (nf4.bnb_checkpoint), which
+    # load_hf_llama repacks WITHOUT requantizing.  bnb_4bit_quant_type
+    # defaults to "fp4" (bitsandbytes' default codebook).
+    qc = hf.get("quantization_config")
+    if qc:
+        method = str(qc.get("quant_method", "bitsandbytes")).lower()
+        if method != "bitsandbytes":
+            raise ValueError(
+                f"unsupported quantization_config quant_method {method!r} "
+                "(only bitsandbytes 4-bit checkpoints are supported)"
+            )
+        if qc.get("load_in_8bit") or qc.get("_load_in_8bit"):
+            raise ValueError(
+                "bitsandbytes 8-bit (LLM.int8) checkpoints are not "
+                "supported — only 4-bit (nf4/fp4)"
+            )
+        if not (qc.get("load_in_4bit") or qc.get("_load_in_4bit")):
+            raise ValueError(
+                "quantization_config is present but load_in_4bit is not "
+                "set; cannot tell how the checkpoint was quantized"
+            )
+        kwargs["quant_type"] = str(
+            qc.get("bnb_4bit_quant_type") or "fp4"
+        ).lower()
     kwargs.update(overrides)
     return LlamaConfig(**kwargs)
 
@@ -307,18 +358,23 @@ def load_hf_llama(
     peak_dense = 0
     total_dense = 0
 
-    for key, tensor in _iter_safetensors(model_dir):
-        tensor = np.asarray(tensor)
+    def route(key, tensor):
+        """Dispatch one logical tensor (dense ndarray, or a QDense decoded
+        from a bitsandbytes sidecar group) to its slot."""
+        nonlocal embed, final_norm, lm_head
+        nonlocal dense_bytes, peak_dense, total_dense
         if key == "model.embed_tokens.weight":
+            if isinstance(tensor, QDense):
+                raise ValueError("quantized embeddings are not supported")
             embed = tensor
         elif key == "model.norm.weight":
             final_norm = tensor
         elif key == "lm_head.weight":
-            lm_head = tensor
+            lm_head = tensor  # QDense fine: _lm_head keeps it packed
         else:
             m = _HF_LAYER_RE.match(key)
             if not m:
-                continue
+                return
             idx, sub = int(m.group(1)), m.group(2)
             if gemma2:
                 sub = {
@@ -351,15 +407,18 @@ def load_hf_llama(
                 q_dim = cfg.num_heads * cfg.head_dim
                 kv_dim = cfg.num_kv_heads * cfg.head_dim
                 pieces = {
-                    "wq": tensor[:q_dim],
-                    "wk": tensor[q_dim : q_dim + kv_dim],
-                    "wv": tensor[q_dim + kv_dim :],
+                    "wq": _rows(tensor, 0, q_dim),
+                    "wk": _rows(tensor, q_dim, q_dim + kv_dim),
+                    "wv": _rows(tensor, q_dim + kv_dim, tensor.shape[0]),
                 }
             elif sub == "mlp.gate_up_proj.weight":
                 inter = tensor.shape[0] // 2
-                pieces = {"w_gate": tensor[:inter], "w_up": tensor[inter:]}
+                pieces = {
+                    "w_gate": _rows(tensor, 0, inter),
+                    "w_up": _rows(tensor, inter, tensor.shape[0]),
+                }
             if pieces is None or idx >= cfg.num_layers:
-                continue
+                return
             lw = layer_weights.setdefault(idx, {})
             lw.update(pieces)
             dense_bytes += tensor.nbytes
@@ -374,6 +433,35 @@ def load_hf_llama(
                         dense_bytes -= a.nbytes
                 del layer_weights[idx]
 
+    # bitsandbytes-serialized checkpoints: a quantized Linear arrives as a
+    # packed uint8 ".weight" plus sidecar tensors (absmax / nested stats /
+    # quant_state JSON blob), possibly split across files.  Group them and
+    # route the decoded QDense once complete — codes pass through to the
+    # TPU packed layout untouched (no requantization).
+    pending: Dict[str, BnbWeightGroup] = {}
+
+    def _bnb_add(base, part, tensor):
+        group = pending.setdefault(base, BnbWeightGroup(base))
+        group.add(part, tensor)
+        if group.complete():
+            del pending[base]
+            route(base, qdense_from_group(group))
+
+    for key, tensor in _iter_safetensors(model_dir):
+        tensor = np.asarray(tensor)
+        side = is_bnb_sidecar(key)
+        if side is not None:
+            _bnb_add(side[0], side[1], tensor)
+        elif tensor.dtype == np.uint8 and key.endswith(".weight"):
+            _bnb_add(key, "weight", tensor)
+        else:
+            route(key, tensor)
+
+    if pending:
+        raise ValueError(
+            "incomplete bitsandbytes weight groups (missing sidecar "
+            f"tensors): {sorted(pending)[:4]}"
+        )
     if embed is None or final_norm is None:
         raise ValueError(f"checkpoint at {model_dir} missing embed/final norm")
     if lm_head is None:

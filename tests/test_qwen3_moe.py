@@ -167,6 +167,16 @@ class TestHFConfig:
         with pytest.raises(ValueError, match="mlp_only_layers"):
             hf_config_to_llama(str(p))
 
+    def test_decoder_sparse_step_rejected(self, tmp_path):
+        from nf4_tpu.models.loader import hf_config_to_llama
+
+        hf = self._base()
+        hf["decoder_sparse_step"] = 2
+        p = tmp_path / "config.json"
+        p.write_text(json.dumps(hf))
+        with pytest.raises(ValueError, match="decoder_sparse_step"):
+            hf_config_to_llama(str(p))
+
     def test_registry_entry(self):
         cfg = get_config("qwen3-30b-a3b")
         assert cfg.num_experts == 128 and cfg.qk_norm and cfg.moe_norm_topk
