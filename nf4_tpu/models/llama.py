@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..nf4.format import PackedNF4, quantize_for_tpu
+from ..nf4.format import PackedNF4, QDense, pack_codes_for_tpu, quantize_for_tpu
 from ..ops.matmul import nf4_matmul
 
 __all__ = [
@@ -259,7 +259,24 @@ class KVCache:
 # Parameter construction
 
 
-def _linear(w: np.ndarray, cfg: LlamaConfig, shards: int = 1) -> Weight:
+def _linear(w, cfg: LlamaConfig, shards: int = 1) -> Weight:
+    if isinstance(w, QDense):
+        # Pre-quantized weight (e.g. parsed from a bitsandbytes-serialized
+        # checkpoint, nf4.bnb_checkpoint): pure layout packing — the codes
+        # the original quantizer chose are carried through untouched.
+        if not cfg.quantize:
+            raise ValueError(
+                "pre-quantized (bnb) weights require cfg.quantize=True"
+            )
+        if w.quant_type != cfg.quant_type:
+            raise ValueError(
+                f"checkpoint quant_type {w.quant_type!r} != config "
+                f"quant_type {cfg.quant_type!r}"
+            )
+        return pack_codes_for_tpu(
+            w.codes, w.scales, dtype=cfg.dtype, shards=shards,
+            quant_type=w.quant_type,
+        )
     if cfg.quantize:
         return quantize_for_tpu(
             w, dtype=cfg.dtype, shards=shards, quant_type=cfg.quant_type
@@ -267,9 +284,31 @@ def _linear(w: np.ndarray, cfg: LlamaConfig, shards: int = 1) -> Weight:
     return jnp.asarray(w, dtype=cfg.dtype)
 
 
-def fuse_rows(ws, groups: int = 1) -> np.ndarray:
+def fuse_rows(ws, groups: int = 1):
     """Fuse dense [m_i, n] weights along the out dim, interleaved per shard:
-    rows = concat over s of [w0_s; w1_s; ...] with w_s = w[s*m/g:(s+1)*m/g]."""
+    rows = concat over s of [w0_s; w1_s; ...] with w_s = w[s*m/g:(s+1)*m/g].
+
+    Accepts either all-dense numpy arrays or all-:class:`QDense` (quantized)
+    weights — QDense fuses codes and per-block scales with the SAME row
+    interleaving (out-features are rows of both), so separately quantized
+    projections fuse exactly.  Mixing the two flavors in one fused group is
+    rejected: silently quantizing the dense minority here would hide a
+    checkpoint inconsistency.
+    """
+    n_q = sum(isinstance(w, QDense) for w in ws)
+    if n_q:
+        if n_q != len(ws):
+            raise ValueError(
+                "cannot fuse pre-quantized and dense weights in one group"
+            )
+        qt = {w.quant_type for w in ws}
+        if len(qt) > 1:
+            raise ValueError(f"mixed quant_types in fused group: {qt}")
+        return QDense(
+            fuse_rows([w.codes for w in ws], groups),
+            fuse_rows([w.scales for w in ws], groups),
+            ws[0].quant_type,
+        )
     ws = [np.asarray(w) for w in ws]
     if groups == 1:
         return np.concatenate(ws, axis=0)
@@ -404,6 +443,12 @@ def init_params(cfg: LlamaConfig, seed: int = 0) -> LlamaParams:
 
 
 def _lm_head(w, cfg: LlamaConfig) -> Weight:
+    if isinstance(w, QDense):
+        # The checkpoint shipped a quantized lm_head (bnb quantizes it
+        # unless it's in llm_int8_skip_modules): keep it packed.
+        return pack_codes_for_tpu(
+            w.codes, w.scales, dtype=cfg.dtype, quant_type=w.quant_type
+        )
     if cfg.quantize_lm_head:
         return quantize_for_tpu(
             np.asarray(w, np.float32), dtype=cfg.dtype,
@@ -446,7 +491,12 @@ def quantize_layer(lw: dict, cfg: LlamaConfig) -> LayerParams:
                 for e in range(cfg.num_experts)
             ]
         )
-        router = jnp.asarray(lw["router"], dtype=jnp.float32)
+        router = lw["router"]
+        if isinstance(router, QDense):
+            # A bnb checkpoint may have quantized the (tiny) router Linear
+            # too; the model wants it dense fp32 — exact dequantization.
+            router = router.to_dense()
+        router = jnp.asarray(router, dtype=jnp.float32)
     else:
         gu = _linear(fuse_rows([lw["w_gate"], lw["w_up"]], g), cfg)
         dn = _linear(lw["w_down"], cfg, shards=g)

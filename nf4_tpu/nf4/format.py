@@ -43,6 +43,7 @@ contribute nothing to matmuls.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -62,7 +63,10 @@ from .reference import (
 
 __all__ = [
     "PackedNF4",
+    "QDense",
     "pack_for_tpu",
+    "pack_codes_for_tpu",
+    "qdense_from_state",
     "quantize_for_tpu",
     "to_quant_state",
     "pad_to",
@@ -122,6 +126,58 @@ def _absmax_grid(state: QuantState) -> np.ndarray:
     return absmax.reshape(m, n // NF4_BLOCK)
 
 
+@dataclasses.dataclass
+class QDense:
+    """A quantized-but-unpacked weight: per-element 4-bit codebook indices
+    plus fully dequantized fp32 per-64-block scales.
+
+    The exact intermediate between an external flat-layout
+    :class:`QuantState` (e.g. parsed out of a bitsandbytes-serialized HF
+    checkpoint — ``nf4.bnb_checkpoint``) and the TPU :class:`PackedNF4`
+    layout.  Row operations (fusing q/k/v, splitting Phi-3-style pre-fused
+    tensors) are plain numpy indexing here, and packing via
+    :func:`pack_codes_for_tpu` is dequantization-free — the 4-bit codes the
+    original quantizer chose are carried through untouched.
+    """
+
+    codes: np.ndarray  # uint8 [m, n] codebook indices
+    scales: np.ndarray  # fp32 [m, n // 64] dequantized block scales
+    quant_type: str = "nf4"
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return tuple(self.codes.shape)
+
+    @property
+    def nbytes(self) -> int:
+        return self.codes.nbytes + self.scales.nbytes
+
+    def rows(self, r0: int, r1: int) -> "QDense":
+        """Out-feature (row) slice — exact, scales are per-row."""
+        return QDense(self.codes[r0:r1], self.scales[r0:r1], self.quant_type)
+
+    def to_dense(self) -> np.ndarray:
+        """Exact fp32 dequantization (``CODE[idx] * scale_block``)."""
+        from .lut import get_code
+
+        vals = get_code(self.quant_type)[self.codes]
+        return vals * np.repeat(self.scales, NF4_BLOCK, axis=1)
+
+
+def qdense_from_state(state: QuantState) -> QDense:
+    """Decode a flat QuantState's codes and (exactly dequantized) scales.
+
+    Handles the bnb flat-stream subtleties: absmax blocks cross row
+    boundaries only when ``n % 64 != 0`` (rejected), and the double-quantized
+    statistics (dynamic code table, offset — reference ``benchmark.py:23-27``)
+    are resolved to fp32 here, once, exactly.
+    """
+    m, n = state.shape
+    assert len(state.shape) == 2, "qdense_from_state expects a 2D weight"
+    codes = unpack_nibbles(state.packed, m * n).reshape(m, n)
+    return QDense(codes, _absmax_grid(state), state.quant_type)
+
+
 def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> PackedNF4:
     """Convert a flat (bitsandbytes-layout) QuantState to the TPU layout.
 
@@ -130,9 +186,32 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
     contraction-sharded over ``shards`` devices.  Exact: chunk boundaries
     fall on 64-value block boundaries, so per-block scales are unchanged.
     """
-    m, n = state.shape
-    assert len(state.shape) == 2, "pack_for_tpu expects a 2D weight"
+    qd = qdense_from_state(state)
+    return pack_codes_for_tpu(
+        qd.codes, qd.scales, dtype=dtype, shards=shards,
+        quant_type=state.quant_type,
+    )
+
+
+def pack_codes_for_tpu(
+    idx: np.ndarray,
+    scales: np.ndarray,
+    dtype=jnp.bfloat16,
+    shards: int = 1,
+    quant_type: str = "nf4",
+) -> PackedNF4:
+    """Pack per-element 4-bit codes + per-block fp32 scales into the TPU
+    layout (see module docstring).  ``idx``: uint8 [m, n]; ``scales``: fp32
+    [m, n//64].  Pure layout transformation — no quantization happens here,
+    so externally quantized codes (bnb checkpoints) round-trip bit-exactly.
+    """
+    idx = np.asarray(idx, dtype=np.uint8)
+    scales = np.asarray(scales, dtype=np.float32)
+    m, n = idx.shape
     assert n % NF4_BLOCK == 0, f"in_features must be a multiple of 64, got {n}"
+    assert scales.shape == (m, n // NF4_BLOCK), (
+        f"scales shape {scales.shape} != {(m, n // NF4_BLOCK)}"
+    )
     assert n % (shards * NF4_BLOCK) == 0, (
         f"in_features {n} must split into {shards} chunks of whole 64-blocks"
     )
@@ -141,9 +220,6 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
     m_pad = pad_to(m, 128)
     n_chunk_pad = pad_to(n_chunk, 1024)
     n_pad = n_chunk_pad * shards
-
-    idx = unpack_nibbles(state.packed, m * n).reshape(m, n)
-    scales = _absmax_grid(state)  # [m, n//64]
 
     packed_chunks = []
     scale_chunks = []
@@ -167,7 +243,7 @@ def pack_for_tpu(state: QuantState, dtype=jnp.bfloat16, shards: int = 1) -> Pack
         padded_shape=(m_pad, n_pad),
         dtype=jnp.dtype(dtype),
         shards=shards,
-        quant_type=state.quant_type,
+        quant_type=quant_type,
     )
 
 
