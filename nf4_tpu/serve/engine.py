@@ -295,6 +295,7 @@ class Engine:
         tp_axis: str = "tp",
         data_axis: Optional[str] = "auto",
         decode_chunk: int = 8,
+        pipeline_decode: bool = True,
         spec_k: int = 0,
         spec_ngram: int = 3,
         prefix_cache: bool = False,
@@ -311,6 +312,14 @@ class Engine:
         # Stochastic sampling consumes a different (but equally valid) key
         # sequence than single-stepping; greedy output is identical.
         self.decode_chunk = decode_chunk
+        # Overlap each decode chunk's host readback/bookkeeping with the
+        # NEXT chunk's device compute (see generate()'s multi-step branch).
+        # Greedy output is token-identical with or without; stochastic
+        # requests consume a different — equally valid — key sequence when
+        # a speculative chunk is discarded.  Costs one extra in-flight KV
+        # cache buffer; disable when HBM is the constraint.
+        self.pipeline_decode = pipeline_decode
+        self.pipeline_stats = {"launched": 0, "discarded": 0}
         self._decode_multi_cache = {}
         self._decode_multi_b_cache = {}
         # Speculative decoding (prompt-lookup drafts, serve/speculative.py):
@@ -1123,104 +1132,149 @@ class Engine:
             # on-device — ONE host sync per chunk instead of per token (the
             # readback dominates small-model decode latency).  Tokens after
             # a stop within the chunk are discarded host-side.
+            #
+            # PIPELINED (pipeline_decode=True): chunk c+1 is launched from
+            # chunk c's DEVICE handles (last sampled token, output cache,
+            # output gen_mask) BEFORE chunk c is read back, so the 15-20 ms
+            # host readback + bookkeeping overlaps the next chunk's compute.
+            # The engine is purely functional on device (each chunk returns
+            # a NEW cache buffer; inputs are never mutated), so when chunk c
+            # turns out to contain a stop, the speculative chunk c+1 is
+            # discarded by simply dropping its handles — the consumed
+            # chunk's outputs are already the authoritative state.  Costs
+            # one extra in-flight KV-cache buffer while a speculative chunk
+            # is live.
             if self.decode_chunk > 1 and all(r != -1 for r in slot_req):
-                rem = min(
-                    req_budget[slot_req[s]] - len(slot_generated[s])
-                    for s in range(B)
-                )
-                ctx_room = int(cfg.max_seq_len - 1 - slot_pos.max())
                 # Fixed chunk size only (each distinct n compiles its own
                 # program); the tail of a budget single-steps.
                 n = self.decode_chunk
-                ban_static = all(
-                    not slot_dynamic[s]
-                    or (
-                        not slot_sp[s].choices
-                        and len(slot_generated[s]) + n
-                        <= slot_sp[s].min_new_tokens
+
+                def chunk_ok(ahead: int) -> bool:
+                    """Is a chunk launched ``ahead`` whole chunks past the
+                    CURRENT host state guaranteed safe (enough budget and
+                    context for every slot, token bans static across it)?"""
+                    rem = min(
+                        req_budget[slot_req[s]] - len(slot_generated[s])
+                        for s in range(B)
+                    ) - ahead * n
+                    ctx_room = int(
+                        cfg.max_seq_len - 1 - (int(slot_pos.max()) + ahead * n)
                     )
-                    for s in range(B)
-                )
-                if rem >= n and ctx_room >= n and ban_static:
+                    ban_static = all(
+                        not slot_dynamic[s]
+                        or (
+                            not slot_sp[s].choices
+                            and len(slot_generated[s]) + (ahead + 1) * n
+                            <= slot_sp[s].min_new_tokens
+                        )
+                        for s in range(B)
+                    )
+                    return rem >= n and ctx_room >= n and ban_static
+
+                if chunk_ok(0):
                     stoch = (
                         sampling.temperature != 0.0
                         if per_req is None
                         else any(p.temperature != 0.0 for p in slot_sp)
                     )
-                    if stoch:
-                        self._key, sub = jax.random.split(self._key)
-                        keys = jax.random.split(sub, n)
-                    else:
-                        keys = jax.random.split(jax.random.PRNGKey(0), n)
-                    if per_req is None:
-                        toks_d, lps_d, tops_d, cache, _pos_d, gen_mask = (
-                            self._decode_multi(sampling, n, top_lp_k)(
-                                self.params,
-                                jnp.asarray(cur_token),
-                                cache,
-                                jnp.asarray(slot_pos),
-                                gen_mask,
-                                keys,
+
+                    def launch(tok_dev, cache_in, mask_in, ahead: int):
+                        """Dispatch one n-step chunk; returns the device
+                        handles untouched (no readback)."""
+                        if stoch:
+                            self._key, sub = jax.random.split(self._key)
+                            keys = jax.random.split(sub, n)
+                        else:
+                            keys = jax.random.split(jax.random.PRNGKey(0), n)
+                        pos_in = jnp.asarray(slot_pos + ahead * n)
+                        if per_req is None:
+                            return self._decode_multi(sampling, n, top_lp_k)(
+                                self.params, tok_dev, cache_in, pos_in,
+                                mask_in, keys,
                             )
+                        return self._decode_multi_b(n, top_lp_k)(
+                            self.params, tok_dev, cache_in, pos_in, mask_in,
+                            keys,
+                            BatchedSampling.stack(slot_sp),
+                            jnp.asarray(
+                                [
+                                    len(slot_generated[s]) + ahead * n
+                                    for s in range(B)
+                                ],
+                                dtype=jnp.int32,
+                            ),
+                            slot_bias,
                         )
-                    else:
-                        toks_d, lps_d, tops_d, cache, _pos_d, gen_mask = (
-                            self._decode_multi_b(n, top_lp_k)(
-                                self.params,
-                                jnp.asarray(cur_token),
-                                cache,
-                                jnp.asarray(slot_pos),
-                                gen_mask,
-                                keys,
-                                BatchedSampling.stack(slot_sp),
-                                jnp.asarray(
-                                    [
-                                        len(slot_generated[s])
-                                        for s in range(B)
-                                    ],
-                                    dtype=jnp.int32,
-                                ),
-                                slot_bias,
-                            )
-                        )
-                    toks = np.asarray(toks_d)  # [n, B]
-                    if top_lp_k:
-                        ctv = np.asarray(tops_d[0])  # [n, B, k]
-                        cti = np.asarray(tops_d[1])
-                    if return_logprobs:
-                        lps = np.asarray(lps_d)
-                    # INVARIANT: a slot whose stop token lands mid-chunk
-                    # still gets slot_pos advanced by n and cur_token set to
-                    # toks[n-1] (post-stop garbage).  This is safe ONLY
-                    # because the retirement check at the top of the while
-                    # loop runs before the next decode touches the slot —
-                    # keep that ordering if refactoring refill/retire.
-                    slot_pos += n
-                    for s in range(B):
-                        r = slot_req[s]
-                        for i in range(n):
-                            t = int(toks[i, s])
-                            slot_generated[s].append(t)
-                            if top_lp_k:
-                                slot_toplp[s].append(
-                                    list(
-                                        zip(
-                                            cti[i, s].tolist(),
-                                            ctv[i, s].tolist(),
+
+                    def consume(out) -> bool:
+                        """Read one finished chunk back and fold it into the
+                        host state; True when any slot hit a stop/budget (so
+                        retire/refill must run before the next decode)."""
+                        nonlocal cache, gen_mask, slot_pos
+                        toks_d, lps_d, tops_d, cache, _pos_d, gen_mask = out
+                        toks = np.asarray(toks_d)  # [n, B]
+                        if top_lp_k:
+                            ctv = np.asarray(tops_d[0])  # [n, B, k]
+                            cti = np.asarray(tops_d[1])
+                        if return_logprobs:
+                            lps = np.asarray(lps_d)
+                        # INVARIANT: a slot whose stop token lands mid-chunk
+                        # still gets slot_pos advanced by n and cur_token set
+                        # to toks[n-1] (post-stop garbage).  This is safe
+                        # ONLY because the retirement check at the top of the
+                        # while loop runs before the next decode touches the
+                        # slot — keep that ordering if refactoring
+                        # refill/retire.  (The pipelined path preserves it:
+                        # a speculative chunk is adopted only when this
+                        # function reports no slot finished.)
+                        slot_pos += n
+                        finished = False
+                        for s in range(B):
+                            r = slot_req[s]
+                            for i in range(n):
+                                t = int(toks[i, s])
+                                slot_generated[s].append(t)
+                                if top_lp_k:
+                                    slot_toplp[s].append(
+                                        list(
+                                            zip(
+                                                cti[i, s].tolist(),
+                                                ctv[i, s].tolist(),
+                                            )
                                         )
                                     )
-                                )
-                            if return_logprobs:
-                                slot_logprobs[s].append(float(lps[i, s]))
-                            if on_token is not None and (
-                                t not in req_stops[r] or _sp_for(r).choices
-                            ):
-                                on_token(r, t)
-                            if t in req_stops[r] or (
-                                len(slot_generated[s]) >= req_budget[r]
-                            ):
-                                break
-                        cur_token[s] = int(toks[n - 1, s])
+                                if return_logprobs:
+                                    slot_logprobs[s].append(float(lps[i, s]))
+                                if on_token is not None and (
+                                    t not in req_stops[r]
+                                    or _sp_for(r).choices
+                                ):
+                                    on_token(r, t)
+                                if t in req_stops[r] or (
+                                    len(slot_generated[s]) >= req_budget[r]
+                                ):
+                                    finished = True
+                                    break
+                            cur_token[s] = int(toks[n - 1, s])
+                        return finished
+
+                    cur = launch(jnp.asarray(cur_token), cache, gen_mask, 0)
+                    while True:
+                        nxt = None
+                        if self.pipeline_decode and chunk_ok(1):
+                            # cur = (toks_d, lps_d, tops_d, cache, pos, mask)
+                            nxt = launch(cur[0][n - 1], cur[3], cur[5], 1)
+                            self.pipeline_stats["launched"] += 1
+                        finished = consume(cur)
+                        if nxt is None:
+                            break
+                        if finished:
+                            # Drop the speculative chunk: nothing to roll
+                            # back — its outputs were never adopted and the
+                            # device state is the consumed chunk's buffers.
+                            self.pipeline_stats["discarded"] += 1
+                            break
+                        cur = nxt
                     continue
 
             # One decode step for the whole batch (idle slots step harmlessly
