@@ -31,6 +31,49 @@ from ..nf4.format import QDense
 from .llama import LlamaConfig, LlamaParams
 
 
+def config_to_dict(cfg: LlamaConfig) -> Dict:
+    """JSON-serializable dict of a LlamaConfig (for checkpoint metadata).
+
+    ``dtype`` becomes its numpy name; ``ep_axis`` (runtime-only, set inside
+    shard_map by ``parallel.tp.tp_local_config``) is dropped.
+    """
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(LlamaConfig):
+        if f.name == "ep_axis":
+            continue
+        v = getattr(cfg, f.name)
+        if f.name == "dtype":
+            v = np.dtype(v).name
+        out[f.name] = v
+    return out
+
+
+def config_from_dict(d: Dict) -> LlamaConfig:
+    """Inverse of :func:`config_to_dict` (tolerates JSON round-tripping:
+    lists become tuples, dtype name becomes the jnp type)."""
+    import jax.numpy as jnp
+
+    def detuple(v):
+        return tuple(detuple(x) for x in v) if isinstance(v, (list, tuple)) else v
+
+    dtypes = {"bfloat16": jnp.bfloat16, "float16": jnp.float16, "float32": jnp.float32}
+    kwargs = {}
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(LlamaConfig)}
+    for k, v in d.items():
+        if k not in known:
+            continue  # forward compat: ignore fields this build doesn't know
+        if k == "dtype":
+            v = dtypes[v]
+        elif isinstance(v, list):
+            v = detuple(v)
+        kwargs[k] = v
+    return LlamaConfig(**kwargs)
+
+
 def _rows(t, r0: int, r1: int):
     """Out-feature row slice for dense arrays and QDense alike."""
     return t.rows(r0, r1) if isinstance(t, QDense) else t[r0:r1]
@@ -39,7 +82,10 @@ __all__ = [
     "load_hf_llama",
     "save_packed",
     "load_packed",
+    "load_packed_auto",
     "hf_config_to_llama",
+    "config_to_dict",
+    "config_from_dict",
 ]
 
 
@@ -559,6 +605,9 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
         "quant_types": quant_types,
         "dtypes": {},
         "dtype": str(np.dtype(cfg.dtype).name),
+        # Full architecture config: makes the artifact self-describing —
+        # load_packed_auto() reconstructs the LlamaConfig from here.
+        "config": config_to_dict(cfg),
     }
 
     if path.endswith(".safetensors"):
@@ -581,8 +630,8 @@ def save_packed(path: str, params: LlamaParams, cfg: LlamaConfig) -> None:
     np.savez(path, __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
-def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
-    """Reload params saved by :func:`save_packed` (.npz or .safetensors)."""
+def _read_packed(path: str):
+    """Read a save_packed artifact -> (data dict, meta dict)."""
     import ml_dtypes
 
     if path.endswith(".safetensors"):
@@ -591,7 +640,7 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
         with safe_open(path, framework="np") as f:
             meta = json.loads(f.metadata()["nf4_tpu"])
             data = {k: f.get_tensor(k) for k in f.keys()}
-        return _assemble_packed(data, meta, cfg)
+        return data, meta
 
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(bytes(data["__meta__"]).decode())
@@ -599,7 +648,36 @@ def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
     for key, arr in list(data.items()):
         if meta["dtypes"].get(key) == "bfloat16":
             data[key] = arr.view(ml_dtypes.bfloat16)
+    return data, meta
+
+
+def load_packed(path: str, cfg: LlamaConfig) -> LlamaParams:
+    """Reload params saved by :func:`save_packed` (.npz or .safetensors)."""
+    data, meta = _read_packed(path)
     return _assemble_packed(data, meta, cfg)
+
+
+def load_packed_auto(path: str, **overrides) -> Tuple[LlamaParams, LlamaConfig]:
+    """Reload a packed checkpoint AND its architecture config.
+
+    The artifact is self-describing (``save_packed`` embeds the full
+    LlamaConfig in the metadata), so no model name or HF config is needed.
+    ``overrides`` are serving-time knobs applied on top (e.g.
+    ``kv_quant=True``, ``max_seq_len=4096``).
+    """
+    data, meta = _read_packed(path)
+    if "config" not in meta:
+        raise ValueError(
+            f"{path} predates self-describing checkpoints (no 'config' in "
+            "metadata) — use load_packed(path, cfg) with the model's "
+            "LlamaConfig instead"
+        )
+    cfg = config_from_dict(meta["config"])
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+    return _assemble_packed(data, meta, cfg), cfg
 
 
 def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:

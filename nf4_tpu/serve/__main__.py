@@ -1,0 +1,196 @@
+"""Serving CLI: load a checkpoint and expose the OpenAI-compatible HTTP API.
+
+    # packed artifact (self-describing; from python -m nf4_tpu.quantize)
+    python -m nf4_tpu.serve --packed llama-nf4.safetensors --port 8000
+
+    # HF checkpoint directory (dense -> streamed quantize-on-load; or a
+    # pre-quantized "*-bnb-4bit" export -> pure repack)
+    python -m nf4_tpu.serve --hf-dir /path/to/Llama-3-8B --int8 --kv8
+
+    # registry config with random weights (load test / smoke)
+    python -m nf4_tpu.serve --model tinyllama-1.1b --synthetic
+
+Endpoints (serve/api.py): ``/v1/completions``, ``/v1/chat/completions``
+(incl. ``"stream": true`` SSE), ``/v1/models``, ``/metrics`` (Prometheus).
+A tokenizer directory (``--tokenizer``, defaults to ``--hf-dir``) enables
+string prompts and chat templating; without one the API accepts token-id
+lists.  The reference package has no server at all — serving is part of
+this framework's BASELINE contract (tokens/s/chip targets, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_engine(args):
+    """Construct (engine, tokenizer) from parsed CLI args."""
+    import dataclasses
+
+    import jax
+
+    from ..models import configs
+    from ..models.loader import (
+        hf_config_to_llama,
+        load_hf_llama,
+        load_packed_auto,
+    )
+    from ..serve.engine import Engine
+    from ..serve.sampling import SamplingParams
+
+    overrides = {}
+    if args.kv8:
+        overrides["kv_quant"] = True
+    if args.max_seq_len:
+        overrides["max_seq_len"] = args.max_seq_len
+    if args.tp > 1:
+        overrides["tp_shards"] = args.tp
+
+    if sum(map(bool, (args.packed, args.hf_dir, args.synthetic))) != 1:
+        raise SystemExit(
+            "pick exactly one weight source: --packed PATH, --hf-dir DIR, "
+            "or --model NAME --synthetic"
+        )
+
+    t0 = time.monotonic()
+    if args.packed:
+        params, cfg = load_packed_auto(args.packed, **overrides)
+        src = args.packed
+    elif args.hf_dir:
+        import os
+
+        if args.model:
+            cfg = dataclasses.replace(
+                configs.get_config(args.model), **overrides
+            )
+        else:
+            cfg = hf_config_to_llama(
+                os.path.join(args.hf_dir, "config.json"), **overrides
+            )
+        params, cfg = load_hf_llama(args.hf_dir, cfg)
+        src = args.hf_dir
+    else:  # --synthetic: registry config, random quantized weights
+        if not args.model:
+            raise SystemExit("--synthetic requires --model NAME")
+        cfg = dataclasses.replace(configs.get_config(args.model), **overrides)
+        from ..models.llama import init_params
+
+        params = init_params(cfg, seed=0)
+        src = f"synthetic:{args.model}"
+    print(f"weights: {src} ({time.monotonic() - t0:.1f}s)", file=sys.stderr)
+
+    if args.int8:
+        from ..models.llama import recode_params_int8
+
+        t0 = time.monotonic()
+        params = jax.block_until_ready(recode_params_int8(params))
+        print(
+            f"int8 recode: {time.monotonic() - t0:.1f}s (2x weight HBM, "
+            "~+55% decode tok/s; values stay on the NF4 grid)",
+            file=sys.stderr,
+        )
+
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp, dp=args.dp)
+
+    tokenizer = None
+    tok_dir = args.tokenizer or args.hf_dir
+    if tok_dir:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(tok_dir)
+        except Exception as e:  # no tokenizer files / no transformers
+            print(f"tokenizer unavailable ({e}); token-id API only",
+                  file=sys.stderr)
+
+    eos = args.eos
+    if eos is None:
+        eos = getattr(tokenizer, "eos_token_id", None)
+    if eos is None:
+        eos = 2  # Llama convention
+
+    engine = Engine(
+        params,
+        cfg,
+        batch_size=args.batch_size,
+        eos_token=int(eos),
+        sampling=SamplingParams(temperature=args.temperature),
+        mesh=mesh,
+        decode_chunk=args.decode_chunk,
+        spec_k=args.spec_k,
+        prefix_cache=args.prefix_cache,
+    )
+    return engine, tokenizer
+
+
+def main(argv=None, block=True):
+    ap = argparse.ArgumentParser(prog="python -m nf4_tpu.serve")
+    src = ap.add_argument_group("weights (pick one)")
+    src.add_argument("--packed", help="packed checkpoint (.npz/.safetensors) "
+                     "from python -m nf4_tpu.quantize / save_packed")
+    src.add_argument("--hf-dir", help="HF checkpoint dir (dense or "
+                     "*-bnb-4bit; quantized/repacked on load)")
+    src.add_argument("--synthetic", action="store_true",
+                     help="random weights for --model (smoke/load test)")
+    ap.add_argument("--model", default=None,
+                    help="registry config name (models.configs); required "
+                    "with --synthetic, optional override with --hf-dir")
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer dir (default: --hf-dir); enables string "
+                    "prompts + chat templates")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--model-name", default="nf4-tpu",
+                    help="model id reported by /v1/models")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="continuous-batching slot count")
+    ap.add_argument("--max-seq-len", type=int, default=None,
+                    help="KV-cache length cap (defaults to the config's)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-recode serving mode (2x weight HBM, ~+55% "
+                    "decode tok/s; values stay on the NF4 grid)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache (halves KV memory)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (needs tp*dp devices)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree: slots shard over dp")
+    ap.add_argument("--decode-chunk", type=int, default=8,
+                    help="decode steps per host sync")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="speculative decoding: prompt-lookup draft length")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="prefill shared prompt prefixes once per wave")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="default sampling temperature (0 = greedy)")
+    ap.add_argument("--eos", type=int, default=None,
+                    help="EOS token id (default: tokenizer's, else 2)")
+    args = ap.parse_args(argv)
+
+    engine, tokenizer = build_engine(args)
+
+    from .api import CompletionServer
+
+    server = CompletionServer(engine, tokenizer, model_name=args.model_name)
+    port = server.start(args.host, args.port)
+    print(f"serving on http://{args.host}:{port} "
+          f"(model={args.model_name}, slots={args.batch_size})",
+          file=sys.stderr)
+    if not block:
+        return server
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -571,7 +571,8 @@ class CompletionServer:
         threading.Thread(
             target=self._httpd.serve_forever, name="nf4-http", daemon=True
         ).start()
-        return self._httpd.server_address[1]
+        self.port = self._httpd.server_address[1]
+        return self.port
 
     def stop(self):
         self._shutdown.set()
