@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -680,14 +680,181 @@ def load_packed_auto(path: str, **overrides) -> Tuple[LlamaParams, LlamaConfig]:
     return _assemble_packed(data, meta, cfg), cfg
 
 
-def _assemble_packed(data, meta, cfg: LlamaConfig) -> LlamaParams:
+class _LazySafetensorEntry:
+    """Shape-carrying handle over one safetensors tensor; ``entry[idx]``
+    reads ONLY the requested byte range from the (mmapped) file."""
+
+    __slots__ = ("_slice", "shape", "ndim", "stats", "key")
+
+    def __init__(self, sl, key, stats=None):
+        self._slice = sl
+        self.shape = tuple(sl.get_shape())
+        self.ndim = len(self.shape)
+        self.key = key
+        self.stats = stats
+
+    def __getitem__(self, idx):
+        if self.stats is not None:
+            self.stats.setdefault(self.key, []).append(idx)
+        return self._slice[idx]
+
+
+class _LazyNpzEntry:
+    """Lazy .npz member: shape comes from the array header; ``entry[idx]``
+    decompresses the WHOLE member then slices (npz has no partial reads —
+    peak host memory is one full tensor, not the checkpoint)."""
+
+    __slots__ = ("_zf", "_name", "shape", "ndim", "_view_dtype", "stats", "key")
+
+    def __init__(self, zf, name, view_dtype=None, stats=None):
+        self._zf = zf
+        self._name = name
+        with zf.open(name) as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        self.shape = tuple(shape)
+        self.ndim = len(self.shape)
+        self._view_dtype = view_dtype
+        self.key = name[:-4] if name.endswith(".npy") else name
+        self.stats = stats
+
+    def __getitem__(self, idx):
+        if self.stats is not None:
+            self.stats.setdefault(self.key, []).append(idx)
+        with self._zf.open(self._name) as f:
+            arr = np.lib.format.read_array(f, allow_pickle=False)
+        if self._view_dtype is not None:
+            arr = arr.view(self._view_dtype)
+        return arr[idx]
+
+
+def load_packed_sharded(
+    path: str,
+    mesh,
+    axis: str = "tp",
+    read_stats: Optional[Dict] = None,
+    **overrides,
+) -> Tuple[LlamaParams, LlamaConfig]:
+    """Load a packed checkpoint DIRECTLY onto a device mesh, shard-on-read.
+
+    The multi-host / large-model loading path: instead of materializing the
+    whole checkpoint on every host and ``device_put``-sharding it afterwards
+    (peak host RAM = full checkpoint per host), every leaf is created with
+    :func:`jax.make_array_from_callback` under its tensor-parallel
+    :func:`~nf4_tpu.parallel.tp.param_specs` sharding, and the callback
+    reads ONLY the slices this host's devices own — via safetensors
+    ``get_slice`` (mmapped partial reads) or per-member .npz decompression.
+    A Llama-3-70B checkpoint (~37 GB packed) on an 8-host tp=8 slice reads
+    ~4.6 GB per host instead of 8 x 37 GB.
+
+    The checkpoint must already be packed for ``mesh.shape[axis]``
+    (``python -m nf4_tpu.quantize --tp N`` or
+    :func:`~nf4_tpu.parallel.tp.repack_tp` + :func:`save_packed`): the fused
+    column-parallel interleave is a global permutation, which cannot be
+    applied slice-locally on read.
+
+    Returns ``(params, cfg)`` exactly like :func:`load_packed_auto`, except
+    every leaf is a global :class:`jax.Array` sharded over ``mesh`` — the
+    :class:`~nf4_tpu.serve.engine.Engine`'s own ``shard_params`` then
+    recognizes the shardings and moves no bytes.  ``read_stats`` (tests)
+    collects the index tuples actually read per tensor key.
+
+    The reference has no checkpoint system at all (SURVEY.md §5) — its
+    weights arrive pre-quantized in bitsandbytes modules.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ..parallel.tp import param_specs
+
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        handle = safe_open(path, framework="np")
+        meta = json.loads(handle.metadata()["nf4_tpu"])
+        data = {
+            k: _LazySafetensorEntry(handle.get_slice(k), k, read_stats)
+            for k in handle.keys()
+        }
+    else:
+        import zipfile
+
+        import ml_dtypes
+
+        handle = zipfile.ZipFile(path, "r")
+        names = [n for n in handle.namelist() if n.endswith(".npy")]
+        with handle.open("__meta__.npy") as f:
+            meta_arr = np.lib.format.read_array(f, allow_pickle=False)
+        meta = json.loads(bytes(meta_arr).decode())
+        data = {}
+        for name in names:
+            key = name[:-4]
+            if key == "__meta__":
+                continue
+            view = (
+                ml_dtypes.bfloat16
+                if meta["dtypes"].get(key) == "bfloat16"
+                else None
+            )
+            data[key] = _LazyNpzEntry(handle, name, view, read_stats)
+
+    try:
+        if "config" not in meta:
+            raise ValueError(
+                f"{path} predates self-describing checkpoints (no 'config' "
+                "in metadata) — quantize/save it again, or use load_packed"
+            )
+        cfg = config_from_dict(meta["config"])
+        if overrides:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, **overrides)
+        tp = mesh.shape[axis]
+        if tp > 1 and cfg.tp_shards != tp:
+            raise ValueError(
+                f"checkpoint is packed for tp_shards={cfg.tp_shards} but the "
+                f"mesh has {axis}={tp}; shard-on-read needs a matching pack "
+                f"(python -m nf4_tpu.quantize --tp {tp}, or repack_tp + "
+                "save_packed), or load eagerly and repack_tp in memory"
+            )
+
+        # Leaves stay lazy through assembly; specs anchor on trailing dims,
+        # so the lazy entries only need .shape/.ndim.
+        skeleton = _assemble_packed(data, meta, cfg, wrap=lambda x: x)
+        specs = param_specs(skeleton, axis, cfg.moe_shard)
+
+        def materialize(entry, spec):
+            sharding = NamedSharding(mesh, spec)
+            # The callback fires once per addressable device; replicated
+            # slices (dp replicas, norms/embed) would otherwise be re-read
+            # per device.  Memoize per distinct index within this leaf.
+            memo = {}
+
+            def read(idx):
+                key = tuple((s.start, s.stop, s.step) for s in idx)
+                if key not in memo:
+                    memo[key] = np.ascontiguousarray(entry[idx])
+                return memo[key]
+
+            return jax.make_array_from_callback(entry.shape, sharding, read)
+
+        return jax.tree.map(materialize, skeleton, specs), cfg
+    finally:
+        if hasattr(handle, "close"):
+            handle.close()
+
+
+def _assemble_packed(data, meta, cfg: LlamaConfig, wrap=None) -> LlamaParams:
     import jax.numpy as jnp
 
     from ..nf4.format import PackedNF4
     from .llama import LayerParams
 
+    if wrap is None:
+        wrap = jnp.asarray
+
     def get(key):
-        return jnp.asarray(data[key])
+        return wrap(data[key])
 
     # Older checkpoints predate the "shards" / "quant_types" meta fields;
     # they were only ever written with shards=1, quant_type="nf4".

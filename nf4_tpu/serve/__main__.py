@@ -45,8 +45,6 @@ def build_engine(args):
         overrides["kv_quant"] = True
     if args.max_seq_len:
         overrides["max_seq_len"] = args.max_seq_len
-    if args.tp > 1:
-        overrides["tp_shards"] = args.tp
 
     if sum(map(bool, (args.packed, args.hf_dir, args.synthetic))) != 1:
         raise SystemExit(
@@ -54,13 +52,48 @@ def build_engine(args):
             "or --model NAME --synthetic"
         )
 
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp, dp=args.dp)
+
     t0 = time.monotonic()
     if args.packed:
-        params, cfg = load_packed_auto(args.packed, **overrides)
-        src = args.packed
+        if mesh is not None and not args.int8:
+            # Shard-on-read: each host reads only its devices' slices.
+            # Falls back to eager load + in-memory repack when the
+            # checkpoint was packed for a different tp degree.
+            from ..models.loader import load_packed_sharded
+
+            try:
+                params, cfg = load_packed_sharded(
+                    args.packed, mesh, **overrides
+                )
+                src = f"{args.packed} (shard-on-read over the mesh)"
+            except ValueError as e:
+                if "tp_shards" not in str(e):
+                    raise
+                print(f"sharded load unavailable ({e}); loading eagerly",
+                      file=sys.stderr)
+                params, cfg = load_packed_auto(args.packed, **overrides)
+                src = args.packed
+        else:
+            params, cfg = load_packed_auto(args.packed, **overrides)
+            src = args.packed
+        if args.tp > 1 and cfg.tp_shards != args.tp:
+            from ..parallel.tp import repack_tp
+
+            params, cfg = repack_tp(params, cfg, args.tp)
+            print(f"repacked tp_shards -> {args.tp} (pure indexing)",
+                  file=sys.stderr)
     elif args.hf_dir:
         import os
 
+        # Dense checkpoints quantize on load: pack directly at the serving
+        # tp degree (packed artifacts instead repack/shard-load above).
+        if args.tp > 1:
+            overrides["tp_shards"] = args.tp
         if args.model:
             cfg = dataclasses.replace(
                 configs.get_config(args.model), **overrides
@@ -74,6 +107,8 @@ def build_engine(args):
     else:  # --synthetic: registry config, random quantized weights
         if not args.model:
             raise SystemExit("--synthetic requires --model NAME")
+        if args.tp > 1:
+            overrides["tp_shards"] = args.tp
         cfg = dataclasses.replace(configs.get_config(args.model), **overrides)
         from ..models.llama import init_params
 
@@ -91,12 +126,6 @@ def build_engine(args):
             "~+55% decode tok/s; values stay on the NF4 grid)",
             file=sys.stderr,
         )
-
-    mesh = None
-    if args.tp > 1 or args.dp > 1:
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(tp=args.tp, dp=args.dp)
 
     tokenizer = None
     tok_dir = args.tokenizer or args.hf_dir
