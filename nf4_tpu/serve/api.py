@@ -27,9 +27,12 @@ drains the queue and runs each wave as a single ``Engine.generate`` call
 with **per-request SamplingParams** — so concurrent requests with
 different temperatures/budgets share one compiled decode program and the
 engine's continuous batching (slot refill) handles intra-wave length
-variance.  Requests arriving while a wave runs batch into the next wave
-(dynamic batching).  TPU work stays on the dispatcher thread; handler
-threads only tokenize, wait, and serialize.
+variance.  Requests arriving while a wave runs JOIN IT IN FLIGHT through
+the engine's ``admit`` hook whenever a slot frees up (cross-request
+continuous batching) — provided the running call's compiled machinery
+can serve them (``Engine.admissible``); the rest lead the next wave.
+TPU work stays on the dispatcher thread; handler threads only tokenize,
+wait, and serialize.
 
 The reference package serves nothing (it is a dequantization kernel —
 SURVEY.md §2); this module exists because a standalone serving framework
@@ -149,25 +152,35 @@ class CompletionServer:
             target=self._dispatch_loop, name="nf4-dispatcher", daemon=True
         )
         self._httpd: Optional[ThreadingHTTPServer] = None
-        self.stats = {"requests": 0, "waves": 0, "tokens_out": 0}
+        self.stats = {
+            "requests": 0, "waves": 0, "tokens_out": 0, "admitted": 0,
+        }
 
     # -- dispatcher ---------------------------------------------------------
 
     def _dispatch_loop(self):
+        carry: List[_Pending] = []  # deferred by the previous wave
         while not self._shutdown.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
-            wave = [first]
+            wave = carry
+            carry = []
+            if not wave:
+                try:
+                    wave.append(self._queue.get(timeout=0.05))
+                except queue.Empty:
+                    continue
             while len(wave) < self.max_wave:
                 try:
                     wave.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-            self._run_wave(wave)
+            carry = self._run_wave(wave)
 
-    def _run_wave(self, wave: List[_Pending]):
+    def _run_wave(self, wave: List[_Pending]) -> List[_Pending]:
+        """Run one engine call over ``wave``; requests arriving MID-WAVE
+        join it through the engine's ``admit`` hook (cross-request
+        continuous batching) when the call's compiled machinery can serve
+        them (``Engine.admissible``); the rest are returned deferred, to
+        lead the next wave."""
         self.stats["waves"] += 1
         # Scoring-only requests (echo + max_tokens=0) skip generation; the
         # on_token request indices refer to the FILTERED list the engine
@@ -183,6 +196,33 @@ class CompletionServer:
             q = streams.get(req_idx)
             if q is not None:
                 q.put(tok)
+
+        deferred: List[_Pending] = []
+
+        def admit(features):
+            """Drain the HTTP queue into the RUNNING engine call.  Only
+            requests the call can serve join (Engine.admissible);
+            incompatible or scoring-only ones defer to the next wave."""
+            admitted = []
+            while len(gen_wave) < self.max_wave:
+                try:
+                    p = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if p.params.max_new_tokens == 0 or not Engine.admissible(
+                    features, p.tokens, p.params,
+                    logprobs=p.logprobs, adapter=p.adapter,
+                ):
+                    deferred.append(p)
+                    continue
+                idx = len(gen_wave)
+                gen_wave.append(p)
+                wave.append(p)
+                if p.stream_q is not None:
+                    streams[idx] = p.stream_q
+                admitted.append((p.tokens, p.params, p.adapter))
+                self.stats["admitted"] += 1
+            return admitted
 
         try:
             from .engine import GenerationResult
@@ -206,7 +246,10 @@ class CompletionServer:
                     ),
                     sampling=[p.params for p in gen_wave],
                     return_logprobs=any(p.logprobs for p in gen_wave),
-                    on_token=on_token if streams else None,
+                    # Always wired: a request admitted mid-wave may stream
+                    # even when none of the initial ones do.
+                    on_token=on_token,
+                    admit=admit,
                 )
             else:
                 results = []
@@ -230,7 +273,7 @@ class CompletionServer:
                 if p.stream_q is not None:
                     p.stream_q.put(None)
                 p.done.set()
-            return
+            return deferred
         for p, r in zip(gen_wave, results):
             p.result = r
             self.stats["tokens_out"] += len(r.tokens)
@@ -238,6 +281,7 @@ class CompletionServer:
             if p.stream_q is not None:
                 p.stream_q.put(None)
             p.done.set()
+        return deferred
 
     # -- request entry ------------------------------------------------------
 
@@ -470,6 +514,8 @@ class CompletionServer:
                         f"nf4tpu_waves_total {server.stats['waves']}",
                         "# TYPE nf4tpu_tokens_out_total counter",
                         f"nf4tpu_tokens_out_total {server.stats['tokens_out']}",
+                        "# TYPE nf4tpu_admitted_total counter",
+                        f"nf4tpu_admitted_total {server.stats['admitted']}",
                         "# TYPE nf4tpu_spec_steps_total counter",
                         f"nf4tpu_spec_steps_total {eng.spec_stats['steps']}",
                         "# TYPE nf4tpu_spec_emitted_total counter",

@@ -332,6 +332,7 @@ class Engine:
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
         self._spec_cache = {}
+        self._spec_chunk_cache = {}
         self._spec_sampled_cache = {}
         # Observability: verify steps taken / tokens emitted through them
         # (ratio emitted/steps = mean tokens per verify = the speedup lever).
@@ -584,6 +585,44 @@ class Engine:
 
     # -- public API ---------------------------------------------------------
 
+    @staticmethod
+    def admissible(features, prompt, sp: SamplingParams, *,
+                   logprobs: bool = False, adapter=None) -> bool:
+        """Can an in-flight generate() call (described by the ``features``
+        dict its ``admit`` callback receives) serve this request?
+
+        A generate() call compiles/allocates only the sampling machinery
+        its INITIAL requests need (penalty masks, bias rows, top-k
+        logprobs, per-token logprobs); a late request needing more must
+        wait for the next call.  Prefix-cached calls additionally require
+        admitted prompts to extend the shared prefix."""
+        if logprobs and not features["return_logprobs"]:
+            return False
+        if sp.top_logprobs > features["top_lp_k"]:
+            return False
+        needs_counts = (
+            sp.presence_penalty != 0.0 or sp.frequency_penalty != 0.0
+        )
+        if needs_counts and not features["use_counts"]:
+            return False
+        if (
+            needs_counts or sp.repetition_penalty != 1.0
+        ) and not features["use_mask"]:
+            return False
+        if (
+            sp.logit_bias or sp.min_new_tokens > 0 or sp.choices
+        ) and not features["use_bias"]:
+            return False
+        if adapter is not None and not features["adapters"]:
+            return False
+        prefix = features["prefix"]
+        if prefix and (
+            len(prompt) <= len(prefix)
+            or tuple(prompt[: len(prefix)]) != prefix
+        ):
+            return False
+        return True
+
     def generate(
         self,
         prompts: Sequence[Sequence[int]],
@@ -593,6 +632,7 @@ class Engine:
         stop_tokens: Optional[Sequence[int]] = None,
         on_token=None,
         adapter=None,
+        admit=None,
     ) -> List[GenerationResult]:
         """Generate completions for all prompts with continuous batching.
 
@@ -614,7 +654,19 @@ class Engine:
         per prompt (or ``None`` for the bare base model) — requests with
         DIFFERENT adapters batch together in one wave; a slot adopts its
         request's adapter at refill and the decode program never
-        recompiles across adapter mixes."""
+        recompiles across adapter mixes.
+
+        ``admit`` enables CROSS-CALL continuous batching: whenever a slot
+        frees up and the internal queue is empty, ``admit(features)`` is
+        called and may return new ``(prompt_tokens, SamplingParams,
+        adapter_or_None)`` requests to join the in-flight batch — they are
+        appended to the request list (their results extend the returned
+        list in admission order) and prefill into the freed slots while
+        the other slots keep decoding, so a late HTTP request does not
+        wait for the whole wave.  ``features`` describes what machinery
+        this call compiled in; callers must only admit requests for which
+        :meth:`admissible` is True (asserted) — incompatible requests wait
+        for the next call, which builds whatever they need."""
         if sampling is None:
             sampling = self.sampling
         if isinstance(sampling, SamplingParams):
@@ -642,6 +694,11 @@ class Engine:
                 f"(got {len(per_req)} for {len(prompts)} prompts)"
             )
             sampling = self.sampling  # only per_req drives sampling below
+        if admit is not None and per_req is None:
+            # Admission appends per-request entries; run in per-request
+            # mode from the start so the lists exist to append to.
+            per_req = [sampling] * len(prompts)
+        prompts = [list(p) for p in prompts]  # admission appends
         cfg = self.cfg
         B = self.batch_size
         base_stops = frozenset({self.eos_token} | set(stop_tokens or ()))
@@ -859,11 +916,53 @@ class Engine:
                         slot_sp[s], slot_generated[s]
                     )
 
+        # What this call's compiled/allocated machinery can serve — the
+        # contract for admit() (see Engine.admissible).
+        features = {
+            "use_mask": use_mask,
+            "use_counts": use_counts,
+            "use_bias": use_bias,
+            "top_lp_k": top_lp_k,
+            "return_logprobs": return_logprobs,
+            "adapters": self._bank is not None,
+            "prefix": tuple(prompts[0][:prefix_len]) if prefix_len else (),
+            "max_prompt_len": cfg.max_seq_len - 1,
+        }
+
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
             groups as real batches (group sizes in {4, 2, 1} so the jit
             compiles a bounded set of (bucket, group) shapes)."""
             nonlocal cache, gen_mask, slot_bias
+
+            if (
+                admit is not None
+                and not queue
+                and any(r == -1 for r in slot_req)
+            ):
+                for tok, sp, ad in admit(features):
+                    sp = sp if sp is not None else self.sampling
+                    assert Engine.admissible(features, tok, sp, adapter=ad), (
+                        "admit() returned a request this generate() call "
+                        "cannot serve (check Engine.admissible first)"
+                    )
+                    r_new = len(prompts)
+                    prompts.append(list(tok))
+                    per_req.append(sp)
+                    req_stops.append(base_stops | set(sp.stop_tokens))
+                    b_new = (
+                        sp.max_new_tokens
+                        if sp.max_new_tokens is not None
+                        else max_new_tokens
+                    )
+                    if sp.choices:
+                        b_new = max(b_new, max(len(c) for c in sp.choices))
+                    assert b_new >= 1
+                    req_budget.append(b_new)
+                    req_adapter.append(-1 if ad is None else int(ad))
+                    results.append(None)
+                    queue.append(r_new)
+
             from collections import defaultdict
 
             pending = []  # (slot, request, prompt, bucket)
@@ -1070,6 +1169,79 @@ class Engine:
                 and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
             ):
                 k = self.spec_k
+
+                # CHAINED device chunks (greedy only): n verify steps with
+                # DEVICE-side n-gram drafting per step — one host sync per
+                # chunk, not per step.  Host-stepped spec pays a readback
+                # every verify (the drafts needed the emitted tokens);
+                # PERF_NOTES shows that sync erasing the speculative win
+                # on small models.  Token-identical to plain greedy decode
+                # (the greedy accept rule is draft-independent).
+                n = self.decode_chunk
+                if (
+                    spec_greedy
+                    and n > 1
+                    and int(cfg.max_seq_len - 1 - slot_pos.max())
+                    >= n * (k + 1)
+                    and min(
+                        req_budget[slot_req[s]] - len(slot_generated[s])
+                        for s in range(B)
+                    )
+                    >= n
+                ):
+                    hist = np.zeros((B, cfg.max_seq_len), dtype=np.int32)
+                    for s in range(B):
+                        ctx = list(prompts[slot_req[s]]) + slot_generated[s]
+                        hist[s, : len(ctx)] = ctx
+                    targets_d, acc_d, lps_d, cache, _h, _t, _p = (
+                        self._spec_chunk(k, n)(
+                            self.params,
+                            jnp.asarray(cur_token),
+                            jnp.asarray(hist),
+                            cache,
+                            jnp.asarray(slot_pos),
+                        )
+                    )
+                    targets = np.asarray(targets_d)  # [n, B, k+1]
+                    acc = np.asarray(acc_d)  # [n, B]
+                    if return_logprobs:
+                        lps = np.asarray(lps_d)
+                    self.spec_stats["steps"] += n
+                    for s in range(B):
+                        r = slot_req[s]
+                        stop_hit = False
+                        for i in range(n):
+                            for j in range(int(acc[i, s]) + 1):
+                                t = int(targets[i, s, j])
+                                slot_generated[s].append(t)
+                                self.spec_stats["emitted"] += 1
+                                if return_logprobs:
+                                    slot_logprobs[s].append(
+                                        float(lps[i, s, j])
+                                    )
+                                if (
+                                    on_token is not None
+                                    and t not in req_stops[r]
+                                ):
+                                    on_token(r, t)
+                                if t in req_stops[r] or (
+                                    len(slot_generated[s]) >= req_budget[r]
+                                ):
+                                    stop_hit = True
+                                    break
+                            if stop_hit:
+                                break
+                        # Device position/token advanced through ALL n
+                        # steps; mirror it exactly (same mid-chunk-stop
+                        # invariant as the multi-step decode path: a
+                        # finished slot's garbage state is never decoded
+                        # again — retire/refill runs first).
+                        slot_pos[s] += int((acc[:, s] + 1).sum())
+                        cur_token[s] = int(
+                            targets[n - 1, s, int(acc[n - 1, s])]
+                        )
+                    continue
+
                 drafts = np.zeros((B, k), dtype=np.int32)
                 for s in range(B):
                     ctx = list(prompts[slot_req[s]]) + slot_generated[s]
@@ -1382,6 +1554,20 @@ class Engine:
                 functools.partial(spec_verify, fwd=self._spec_fwd(), k=k)
             )
             self._spec_cache[k] = fn
+        return fn
+
+    def _spec_chunk(self, k: int, n_steps: int):
+        fn = self._spec_chunk_cache.get((k, n_steps))
+        if fn is None:
+            from .speculative import spec_chunk
+
+            fn = jax.jit(
+                functools.partial(
+                    spec_chunk, fwd=self._spec_fwd(), k=k,
+                    n_steps=n_steps, ngram=self.spec_ngram,
+                )
+            )
+            self._spec_chunk_cache[(k, n_steps)] = fn
         return fn
 
     def _spec_verify_sampled(self, k: int):

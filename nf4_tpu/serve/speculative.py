@@ -45,7 +45,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["propose_ngram", "spec_verify", "spec_verify_sampled"]
+__all__ = [
+    "propose_ngram",
+    "draft_ngram_device",
+    "spec_verify",
+    "spec_verify_sampled",
+    "spec_chunk",
+]
 
 
 def propose_ngram(
@@ -86,6 +92,105 @@ def propose_ngram(
             [out, np.full(k - out.size, out[-1], dtype=np.int64)]
         )
     return out.astype(np.int32)
+
+
+def draft_ngram_device(hist, hlen, k: int, max_ngram: int = 3):
+    """Device-side prompt-lookup drafting (the jit-able counterpart of
+    :func:`propose_ngram`, so speculative steps can CHAIN on device).
+
+    ``hist [B, S]`` int32 — each slot's token history (prompt + emitted);
+    entries at positions >= ``hlen[b]`` are stale and ignored.
+    ``hlen [B]`` int32 — valid history length per slot.
+
+    Returns drafts ``[B, k]`` int32.  Matching rule mirrors the host
+    drafter: the longest suffix n-gram (n = max_ngram..1) is matched
+    against its most recent earlier occurrence and the following tokens
+    proposed; short/absent continuations pad by clamping into the valid
+    history (the host version pads with the continuation's final token —
+    an immaterial difference: greedy spec output is token-identical
+    REGARDLESS of drafts, which only set the acceptance rate).
+
+    Cost: O(B * S * max_ngram) vector compares per call — noise next to
+    a forward pass.
+    """
+    b_sz, s_len = hist.shape
+    j = jnp.arange(s_len, dtype=jnp.int32)[None, :]  # candidate starts
+
+    best_start = jnp.full((b_sz,), -1, dtype=jnp.int32)
+    found = jnp.zeros((b_sz,), dtype=bool)
+    for n in range(max_ngram, 0, -1):
+        # match[b, j]: hist[b, j:j+n] == suffix (the last n valid tokens),
+        # with a continuation available (j + n <= hlen - 1) and the
+        # suffix's own occurrence excluded by the same bound.
+        match = jnp.ones((b_sz, s_len), dtype=bool)
+        for i in range(n):
+            # suffix token i = hist[b, hlen - n + i]
+            suf_i = jnp.take_along_axis(
+                hist, jnp.maximum(hlen - n + i, 0)[:, None], axis=1
+            )
+            # hist[b, j + i], shifted with a static offset (stale pad).
+            shifted = jnp.pad(hist[:, i:], ((0, 0), (0, i)))
+            match &= shifted == suf_i
+        valid = (j <= (hlen - n - 1)[:, None]) & ((hlen >= n + 1)[:, None])
+        cand = jnp.where(match & valid, j, -1).max(axis=1)  # most recent
+        hit = cand >= 0
+        # Longest n wins: only rows still unmatched take a shorter n.
+        best_start = jnp.where(~found & hit, cand + n, best_start)
+        found = found | hit
+    start = jnp.where(found, best_start, hlen - 1)
+    idx = jnp.minimum(
+        start[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :],
+        (hlen - 1)[:, None],
+    )
+    return jnp.take_along_axis(hist, idx, axis=1).astype(jnp.int32)
+
+
+def spec_chunk(
+    params, cur_token, hist, cache, slot_pos, *, fwd, k, n_steps, ngram=3
+):
+    """``n_steps`` chained GREEDY spec-verify steps fully on device (jit
+    this): draft on device (:func:`draft_ngram_device`), verify
+    (:func:`spec_verify`), append the emitted run to the history, repeat —
+    ONE host sync per chunk instead of per verify step.  The host-stepped
+    spec path pays a host readback per step (the n-gram drafts needed the
+    emitted tokens); on rigs where that sync rivals the step time (see
+    PERF_NOTES) it erases the speculative win — this chunk restores it.
+
+    ``hist [B, S]`` carries each slot's full token context with
+    ``slot_pos + 1`` valid entries (``hist[b, slot_pos[b]]`` IS
+    ``cur_token[b]``).  Stale-tail contract matches :func:`spec_verify`:
+    all k+1 tokens of a step are written to history/cache; only
+    ``accepted + 1`` advance the lengths, and the next step's writes
+    cover the stale region.
+
+    Returns (targets [n, B, k+1], accepted [n, B], logprobs [n, B, k+1],
+    cache, hist, cur_token [B], slot_pos [B]) — the trailing device
+    handles let a follow-up chunk launch without a readback.
+    """
+
+    def body(carry, _):
+        tok, hist, cache, pos = carry
+        drafts = draft_ngram_device(hist, pos + 1, k, ngram)
+        targets, accepted, lps, cache = spec_verify(
+            params, tok, drafts, cache, pos, fwd=fwd, k=k
+        )
+        b_idx = jnp.arange(tok.shape[0], dtype=jnp.int32)
+        # Write all k+1 emitted-or-stale tokens after the consumed prefix.
+        widx = (pos + 1)[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        widx = jnp.minimum(widx, hist.shape[1] - 1)
+        hist = hist.at[b_idx[:, None], widx].set(targets)
+        nxt = targets[b_idx, accepted]
+        return (nxt, hist, cache, pos + accepted + 1), (
+            targets, accepted, lps,
+        )
+
+    (tok, hist, cache, pos), (targets, accepted, lps) = jax.lax.scan(
+        body,
+        (cur_token, hist, cache, slot_pos),
+        None,
+        length=n_steps,
+    )
+    return targets, accepted, lps, cache, hist, tok, pos
 
 
 def spec_verify(params, cur_token, drafts, cache, slot_pos, *, fwd, k):

@@ -431,7 +431,9 @@ class TestWaveCompositionFixes:
         from nf4_tpu.serve.api import CompletionServer
 
         # Drive the server object directly so both requests land in ONE
-        # wave deterministically.
+        # wave deterministically.  Dispatcher contract: a pending handed
+        # to _run_wave has been REMOVED from the queue (mid-wave admission
+        # drains whatever is still queued), so drain after submitting.
         server = CompletionServer(twin)
         score_p = server.submit(
             {"prompt": [1, 2, 3], "max_tokens": 0, "echo": True,
@@ -440,7 +442,9 @@ class TestWaveCompositionFixes:
         stream_p = server.submit(
             {"prompt": [4, 5, 6], "max_tokens": 4, "stream": True}
         )
-        server._run_wave([score_p, stream_p])
+        wave = [server._queue.get_nowait() for _ in range(2)]
+        assert wave == [score_p, stream_p]
+        server._run_wave(wave)
         got = []
         while True:
             t = stream_p.stream_q.get(timeout=5)
