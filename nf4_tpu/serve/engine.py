@@ -1178,68 +1178,106 @@ class Engine:
                 # on small models.  Token-identical to plain greedy decode
                 # (the greedy accept rule is draft-independent).
                 n = self.decode_chunk
-                if (
-                    spec_greedy
-                    and n > 1
-                    and int(cfg.max_seq_len - 1 - slot_pos.max())
-                    >= n * (k + 1)
-                    and min(
+
+                def spec_room(ahead: int) -> bool:
+                    """Context + budget room for a chunk launched ``ahead``
+                    chunks past the current host state.  Context bounds
+                    the WORST case (every chunk advances n*(k+1)
+                    positions); budget mirrors the decode path's rule —
+                    a speculative chunk that overshoots a budget is
+                    simply discarded at consume time."""
+                    ctx_ok = int(
+                        cfg.max_seq_len - 1 - int(slot_pos.max())
+                    ) >= (ahead + 1) * n * (k + 1)
+                    rem = min(
                         req_budget[slot_req[s]] - len(slot_generated[s])
                         for s in range(B)
-                    )
-                    >= n
-                ):
+                    ) - ahead * n
+                    return ctx_ok and rem >= n
+
+                if spec_greedy and n > 1 and spec_room(0):
+
+                    def spec_launch(tok_d, hist_d, cache_in, pos_d):
+                        """Dispatch one n-step spec chunk (no readback)."""
+                        return self._spec_chunk(k, n)(
+                            self.params, tok_d, hist_d, cache_in, pos_d
+                        )
+
+                    def spec_consume(out) -> bool:
+                        """Fold one finished spec chunk into host state;
+                        True when any slot hit a stop/budget."""
+                        nonlocal cache
+                        targets_d, acc_d, lps_d, cache = out[:4]
+                        targets = np.asarray(targets_d)  # [n, B, k+1]
+                        acc = np.asarray(acc_d)  # [n, B]
+                        if return_logprobs:
+                            lps = np.asarray(lps_d)
+                        self.spec_stats["steps"] += n
+                        finished = False
+                        for s in range(B):
+                            r = slot_req[s]
+                            stop_hit = False
+                            for i in range(n):
+                                for j in range(int(acc[i, s]) + 1):
+                                    t = int(targets[i, s, j])
+                                    slot_generated[s].append(t)
+                                    self.spec_stats["emitted"] += 1
+                                    if return_logprobs:
+                                        slot_logprobs[s].append(
+                                            float(lps[i, s, j])
+                                        )
+                                    if (
+                                        on_token is not None
+                                        and t not in req_stops[r]
+                                    ):
+                                        on_token(r, t)
+                                    if t in req_stops[r] or (
+                                        len(slot_generated[s])
+                                        >= req_budget[r]
+                                    ):
+                                        stop_hit = True
+                                        break
+                                if stop_hit:
+                                    finished = True
+                                    break
+                            # Device position/token advanced through ALL
+                            # n steps; mirror it exactly (same mid-chunk-
+                            # stop invariant as the multi-step decode
+                            # path: a finished slot's garbage state is
+                            # never decoded again — retire/refill first).
+                            slot_pos[s] += int((acc[:, s] + 1).sum())
+                            cur_token[s] = int(
+                                targets[n - 1, s, int(acc[n - 1, s])]
+                            )
+                        return finished
+
                     hist = np.zeros((B, cfg.max_seq_len), dtype=np.int32)
                     for s in range(B):
                         ctx = list(prompts[slot_req[s]]) + slot_generated[s]
                         hist[s, : len(ctx)] = ctx
-                    targets_d, acc_d, lps_d, cache, _h, _t, _p = (
-                        self._spec_chunk(k, n)(
-                            self.params,
-                            jnp.asarray(cur_token),
-                            jnp.asarray(hist),
-                            cache,
-                            jnp.asarray(slot_pos),
-                        )
+                    cur = spec_launch(
+                        jnp.asarray(cur_token),
+                        jnp.asarray(hist),
+                        cache,
+                        jnp.asarray(slot_pos),
                     )
-                    targets = np.asarray(targets_d)  # [n, B, k+1]
-                    acc = np.asarray(acc_d)  # [n, B]
-                    if return_logprobs:
-                        lps = np.asarray(lps_d)
-                    self.spec_stats["steps"] += n
-                    for s in range(B):
-                        r = slot_req[s]
-                        stop_hit = False
-                        for i in range(n):
-                            for j in range(int(acc[i, s]) + 1):
-                                t = int(targets[i, s, j])
-                                slot_generated[s].append(t)
-                                self.spec_stats["emitted"] += 1
-                                if return_logprobs:
-                                    slot_logprobs[s].append(
-                                        float(lps[i, s, j])
-                                    )
-                                if (
-                                    on_token is not None
-                                    and t not in req_stops[r]
-                                ):
-                                    on_token(r, t)
-                                if t in req_stops[r] or (
-                                    len(slot_generated[s]) >= req_budget[r]
-                                ):
-                                    stop_hit = True
-                                    break
-                            if stop_hit:
-                                break
-                        # Device position/token advanced through ALL n
-                        # steps; mirror it exactly (same mid-chunk-stop
-                        # invariant as the multi-step decode path: a
-                        # finished slot's garbage state is never decoded
-                        # again — retire/refill runs first).
-                        slot_pos[s] += int((acc[:, s] + 1).sum())
-                        cur_token[s] = int(
-                            targets[n - 1, s, int(acc[n - 1, s])]
-                        )
+                    # Pipeline spec chunks exactly like decode chunks:
+                    # chunk c+1 launches from chunk c's device handles
+                    # (token, history, cache, positions are all outputs)
+                    # before c's readback; a chunk containing a stop
+                    # discards the speculative successor rollback-free.
+                    while True:
+                        nxt = None
+                        if self.pipeline_decode and spec_room(1):
+                            nxt = spec_launch(cur[5], cur[4], cur[3], cur[6])
+                            self.pipeline_stats["launched"] += 1
+                        finished = spec_consume(cur)
+                        if nxt is None:
+                            break
+                        if finished:
+                            self.pipeline_stats["discarded"] += 1
+                            break
+                        cur = nxt
                     continue
 
                 drafts = np.zeros((B, k), dtype=np.int32)

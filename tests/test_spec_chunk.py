@@ -160,6 +160,25 @@ class TestChunkedSpecEngine:
         got = spec.generate(PROMPTS[:2], max_new_tokens=5)
         assert [r.tokens for r in got] == [r.tokens for r in ref]
 
+    def test_pipelined_spec_chunks_token_identical(self, params):
+        """Spec chunks pipeline like decode chunks (chunk c+1 launches
+        from c's device handles); output must be identical with the
+        pipeline on or off, and speculative successors must actually
+        launch (and be discarded at stops rollback-free)."""
+        outs = {}
+        for pipe in (False, True):
+            eng = Engine(
+                params, TINY_TEST, batch_size=2, eos_token=-1,
+                spec_k=3, decode_chunk=2, pipeline_decode=pipe,
+            )
+            outs[pipe] = [
+                r.tokens
+                for r in eng.generate(PROMPTS[:2], max_new_tokens=24)
+            ]
+            if pipe:
+                assert eng.pipeline_stats["launched"] > 0
+        assert outs[True] == outs[False]
+
     def test_stochastic_requests_use_host_path(self, params):
         """A stochastic request opts the wave out of the greedy chunk (the
         rejection sampler stays host-stepped) without breaking anything."""
