@@ -771,34 +771,37 @@ def load_packed_sharded(
         from safetensors import safe_open
 
         handle = safe_open(path, framework="np")
-        meta = json.loads(handle.metadata()["nf4_tpu"])
-        data = {
-            k: _LazySafetensorEntry(handle.get_slice(k), k, read_stats)
-            for k in handle.keys()
-        }
     else:
         import zipfile
 
-        import ml_dtypes
-
         handle = zipfile.ZipFile(path, "r")
-        names = [n for n in handle.namelist() if n.endswith(".npy")]
-        with handle.open("__meta__.npy") as f:
-            meta_arr = np.lib.format.read_array(f, allow_pickle=False)
-        meta = json.loads(bytes(meta_arr).decode())
-        data = {}
-        for name in names:
-            key = name[:-4]
-            if key == "__meta__":
-                continue
-            view = (
-                ml_dtypes.bfloat16
-                if meta["dtypes"].get(key) == "bfloat16"
-                else None
-            )
-            data[key] = _LazyNpzEntry(handle, name, view, read_stats)
 
     try:
+        if path.endswith(".safetensors"):
+            meta = json.loads(handle.metadata()["nf4_tpu"])
+            data = {
+                k: _LazySafetensorEntry(handle.get_slice(k), k, read_stats)
+                for k in handle.keys()
+            }
+        else:
+            import ml_dtypes
+
+            names = [n for n in handle.namelist() if n.endswith(".npy")]
+            with handle.open("__meta__.npy") as f:
+                meta_arr = np.lib.format.read_array(f, allow_pickle=False)
+            meta = json.loads(bytes(meta_arr).decode())
+            data = {}
+            for name in names:
+                key = name[:-4]
+                if key == "__meta__":
+                    continue
+                view = (
+                    ml_dtypes.bfloat16
+                    if meta["dtypes"].get(key) == "bfloat16"
+                    else None
+                )
+                data[key] = _LazyNpzEntry(handle, name, view, read_stats)
+
         if "config" not in meta:
             raise ValueError(
                 f"{path} predates self-describing checkpoints (no 'config' "
