@@ -711,7 +711,13 @@ class _LazyNpzEntry:
         self._name = name
         with zf.open(name) as f:
             version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
+            # Public per-version header readers (the private
+            # _read_array_header has changed signature across numpy
+            # releases; these are the stable API for the same job).
+            if version == (1, 0):
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
         self.shape = tuple(shape)
         self.ndim = len(self.shape)
         self._view_dtype = view_dtype

@@ -75,6 +75,10 @@ class _Pending:
     # the pure scoring idiom.
     echo: bool = False
     prompt_logprobs: Any = None
+    # Set when the client goes away (a streaming handler's socket write
+    # failed); the dispatcher's cancel callback reports it to the engine,
+    # which frees the slot within one decode chunk.
+    cancelled: bool = False
 
 
 def _params_from_body(
@@ -154,6 +158,7 @@ class CompletionServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self.stats = {
             "requests": 0, "waves": 0, "tokens_out": 0, "admitted": 0,
+            "cancelled": 0,
         }
 
     # -- dispatcher ---------------------------------------------------------
@@ -196,6 +201,13 @@ class CompletionServer:
             q = streams.get(req_idx)
             if q is not None:
                 q.put(tok)
+
+        def cancel(req_idx: int) -> bool:
+            """Engine request indices match gen_wave positions (admitted
+            requests are appended to both in the same order)."""
+            if 0 <= req_idx < len(gen_wave) and gen_wave[req_idx].cancelled:
+                return True
+            return False
 
         deferred: List[_Pending] = []
 
@@ -250,6 +262,7 @@ class CompletionServer:
                     # even when none of the initial ones do.
                     on_token=on_token,
                     admit=admit,
+                    cancel=cancel,
                 )
             else:
                 results = []
@@ -277,6 +290,8 @@ class CompletionServer:
         for p, r in zip(gen_wave, results):
             p.result = r
             self.stats["tokens_out"] += len(r.tokens)
+            if p.cancelled:
+                self.stats["cancelled"] += 1
         for p in wave:
             if p.stream_q is not None:
                 p.stream_q.put(None)
@@ -516,6 +531,8 @@ class CompletionServer:
                         f"nf4tpu_tokens_out_total {server.stats['tokens_out']}",
                         "# TYPE nf4tpu_admitted_total counter",
                         f"nf4tpu_admitted_total {server.stats['admitted']}",
+                        "# TYPE nf4tpu_cancelled_total counter",
+                        f"nf4tpu_cancelled_total {server.stats['cancelled']}",
                         "# TYPE nf4tpu_spec_steps_total counter",
                         f"nf4tpu_spec_steps_total {eng.spec_stats['steps']}",
                         "# TYPE nf4tpu_spec_emitted_total counter",
@@ -600,10 +617,18 @@ class CompletionServer:
                         chunk = {"token": int(tok)}
                         if text is not None:
                             chunk["text"] = text
-                    self.wfile.write(
-                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
-                    )
-                    self.wfile.flush()
+                    try:
+                        self.wfile.write(
+                            b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                        )
+                        self.wfile.flush()
+                    except OSError:
+                        # Client went away mid-stream: flag the request so
+                        # the dispatcher's cancel callback retires its slot
+                        # (within one decode chunk) instead of decoding the
+                        # rest of the budget for nobody.
+                        pending.cancelled = True
+                        return
                 pending.done.wait()
                 if pending.error is not None:
                     self.wfile.write(

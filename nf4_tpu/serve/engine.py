@@ -598,6 +598,8 @@ class Engine:
         admitted prompts to extend the shared prefix."""
         if logprobs and not features["return_logprobs"]:
             return False
+        if len(prompt) == 0 or len(prompt) > features["max_prompt_len"]:
+            return False
         if sp.top_logprobs > features["top_lp_k"]:
             return False
         needs_counts = (
@@ -613,7 +615,10 @@ class Engine:
             sp.logit_bias or sp.min_new_tokens > 0 or sp.choices
         ) and not features["use_bias"]:
             return False
-        if adapter is not None and not features["adapters"]:
+        if adapter is not None and not (
+            features["adapters"]
+            and -1 <= int(adapter) < features["num_adapters"]
+        ):
             return False
         prefix = features["prefix"]
         if prefix and (
@@ -633,6 +638,7 @@ class Engine:
         on_token=None,
         adapter=None,
         admit=None,
+        cancel=None,
     ) -> List[GenerationResult]:
         """Generate completions for all prompts with continuous batching.
 
@@ -666,7 +672,17 @@ class Engine:
         wait for the whole wave.  ``features`` describes what machinery
         this call compiled in; callers must only admit requests for which
         :meth:`admissible` is True (asserted) — incompatible requests wait
-        for the next call, which builds whatever they need."""
+        for the next call, which builds whatever they need.
+
+        ``cancel(request_idx) -> bool``, when given, is polled at every
+        host sync: a request reporting True retires immediately (its
+        result carries whatever was generated, ``finished=False``) and
+        its slot refills from the queue / ``admit`` — a disconnected
+        HTTP client stops consuming chip time within one decode chunk.
+        Cancellation is a host-side scheduler control: it never enters
+        a compiled program, and in-flight pipelined chunks are simply
+        discarded (the device path is functional, so there is nothing
+        to roll back)."""
         if sampling is None:
             sampling = self.sampling
         if isinstance(sampling, SamplingParams):
@@ -925,9 +941,18 @@ class Engine:
             "top_lp_k": top_lp_k,
             "return_logprobs": return_logprobs,
             "adapters": self._bank is not None,
+            "num_adapters": self.num_adapters,
             "prefix": tuple(prompts[0][:prefix_len]) if prefix_len else (),
             "max_prompt_len": cfg.max_seq_len - 1,
         }
+
+        def _cancel_hit() -> bool:
+            """Any ACTIVE slot's request cancelled?  Polled between
+            pipelined chunks so a long pipelined stretch still returns
+            to the retirement check within one chunk of a cancel."""
+            return cancel is not None and any(
+                slot_req[s] != -1 and cancel(slot_req[s]) for s in range(B)
+            )
 
         def refill(slots_tokens):
             """Assign queued requests to idle slots, prefilling same-bucket
@@ -959,7 +984,12 @@ class Engine:
                         b_new = max(b_new, max(len(c) for c in sp.choices))
                     assert b_new >= 1
                     req_budget.append(b_new)
-                    req_adapter.append(-1 if ad is None else int(ad))
+                    a_new = -1 if ad is None else int(ad)
+                    assert -1 <= a_new < max(self.num_adapters, 1), (
+                        f"adapter index {a_new} out of range "
+                        f"[0, {self.num_adapters})"
+                    )
+                    req_adapter.append(a_new)
                     results.append(None)
                     queue.append(r_new)
 
@@ -967,9 +997,22 @@ class Engine:
 
             pending = []  # (slot, request, prompt, bucket)
             for s in range(B):
-                if slot_req[s] != -1 or not queue:
+                if slot_req[s] != -1:
                     continue
-                r = queue.pop(0)
+                r = None
+                while queue:
+                    cand = queue.pop(0)
+                    # A request cancelled while still queued never
+                    # prefills; complete it with nothing generated.
+                    if cancel is not None and cancel(cand):
+                        results[cand] = GenerationResult(
+                            list(prompts[cand]), [], False
+                        )
+                        continue
+                    r = cand
+                    break
+                if r is None:
+                    break
                 prompt = list(prompts[r])
                 if len(prompt) == 0 or len(prompt) >= cfg.max_seq_len:
                     results[r] = GenerationResult(prompt, [], True)
@@ -1111,7 +1154,11 @@ class Engine:
                 done_choice = bool(_sp_for(r).choices) and (
                     tuple(gen) in _sp_for(r).choices
                 )
-                if done_eos or done_len or done_ctx or done_choice:
+                done_cancel = cancel is not None and cancel(r)
+                if (
+                    done_eos or done_len or done_ctx or done_choice
+                    or done_cancel
+                ):
                     out = gen[:-1] if done_eos else gen
                     lp = slot_logprobs[s][: len(out)] if return_logprobs else None
                     k_r = _sp_for(r).top_logprobs
@@ -1145,7 +1192,15 @@ class Engine:
             # rejection sampling (spec_verify_sampled).  Only the
             # repetition penalty opts a call out (its token mask would
             # have to evolve across unaccepted draft positions).
-            active_sps = [sampling] if per_req is None else per_req
+            # Gate on the requests currently HOLDING slots (slot_req), not
+            # the whole per_req history: with admit() the request list
+            # grows across the wave, and a long-retired incompatible
+            # request must not disable speculation for the remainder.
+            active_sps = (
+                [sampling]
+                if per_req is None
+                else [per_req[r] for r in slot_req if r != -1]
+            )
             # Seeded requests also opt out: the rejection sampler's key
             # consumption depends on accept counts, which would break the
             # (seed, step) -> token reproducibility contract.  So do the
@@ -1274,7 +1329,7 @@ class Engine:
                         finished = spec_consume(cur)
                         if nxt is None:
                             break
-                        if finished:
+                        if finished or _cancel_hit():
                             self.pipeline_stats["discarded"] += 1
                             break
                         cur = nxt
@@ -1478,7 +1533,7 @@ class Engine:
                         finished = consume(cur)
                         if nxt is None:
                             break
-                        if finished:
+                        if finished or _cancel_hit():
                             # Drop the speculative chunk: nothing to roll
                             # back — its outputs were never adopted and the
                             # device state is the consumed chunk's buffers.

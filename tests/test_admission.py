@@ -88,7 +88,7 @@ class TestAdmissible:
     BASE = {
         "use_mask": False, "use_counts": False, "use_bias": False,
         "top_lp_k": 0, "return_logprobs": False, "adapters": False,
-        "prefix": (), "max_prompt_len": 63,
+        "num_adapters": 0, "prefix": (), "max_prompt_len": 63,
     }
 
     def test_plain_greedy_admissible(self):
@@ -112,6 +112,7 @@ class TestAdmissible:
         rich = dict(
             f, use_mask=True, use_counts=True, use_bias=True,
             top_lp_k=5, return_logprobs=True, adapters=True,
+            num_adapters=2,
         )
         assert Engine.admissible(
             rich, [1],
@@ -126,6 +127,16 @@ class TestAdmissible:
             dict(f, use_counts=True), [1],
             SamplingParams(presence_penalty=0.5),
         )
+        # adapter index must be inside the bank the call was built with
+        assert not Engine.admissible(rich, [1], SamplingParams(), adapter=2)
+        assert not Engine.admissible(rich, [1], SamplingParams(), adapter=-2)
+        assert Engine.admissible(rich, [1], SamplingParams(), adapter=1)
+
+    def test_prompt_length_gate(self):
+        f = self.BASE
+        assert not Engine.admissible(f, [], SamplingParams())
+        assert not Engine.admissible(f, list(range(64)), SamplingParams())
+        assert Engine.admissible(f, list(range(63)), SamplingParams())
 
     def test_prefix_gate(self):
         f = dict(self.BASE, prefix=(7, 8, 9))
