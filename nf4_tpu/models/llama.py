@@ -839,6 +839,8 @@ def _layer_forward(
     segment_ids=None,
     adapter_ids=None,  # [B] int32 — banked multi-LoRA row selection
     window=None,  # per-layer sliding window (traced; Gemma-2 alternation)
+    ring_axis=None,  # (mesh axis name, n_shards): sequence-parallel ring
+    cache_positions=None,  # [B,S] cache-slot indices when != positions (SP)
 ):
     """One decoder layer. x: [B,S,H]; returns (x_out, new layer cache).
 
@@ -877,13 +879,18 @@ def _layer_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # Scatter new K/V into the cache at per-sequence positions.
+    # Scatter new K/V into the cache at per-sequence positions.  Under
+    # sequence parallelism the cache holds only this shard's slots, so the
+    # scatter indices (``cache_positions``, local) differ from the rope/
+    # mask ``positions`` (global).
+    cpos = positions if cache_positions is None else cache_positions
+
     def upd(cache, new):
-        # cache [B,KV,T,...], new [B,KV,S,...], positions [B,S]
+        # cache [B,KV,T,...], new [B,KV,S,...], cpos [B,S]
         def per_seq(c, n, pos):
             return c.at[:, pos].set(n)  # advanced index on the T axis
 
-        return jax.vmap(per_seq)(cache, new, positions)
+        return jax.vmap(per_seq)(cache, new, cpos)
 
     from ..ops.attention import attention
 
@@ -909,27 +916,51 @@ def _layer_forward(
                 k_scale=upd(layer_cache.k_scale, ks),
                 v_scale=upd(layer_cache.v_scale, vs),
             )
+            k_loc, v_loc, ks_loc, vs_loc = k8, v8, ks, vs
         else:
             layer_cache = KVCache(
                 k=upd(layer_cache.k, k.astype(layer_cache.k.dtype)),
                 v=upd(layer_cache.v, v.astype(layer_cache.v.dtype)),
             )
+            # Attend the same representation the cache stores (bf16 cast).
+            k_loc = k.astype(layer_cache.k.dtype)
+            v_loc = v.astype(layer_cache.v.dtype)
+            ks_loc = vs_loc = None
 
-        attn = attention(
-            q,
-            layer_cache.k,
-            layer_cache.v,
-            positions,
-            seq_lens,
-            scale=cfg.attn_scale,
-            sliding_window=window if window is not None else cfg.sliding_window,
-            k_scale=layer_cache.k_scale,
-            v_scale=layer_cache.v_scale,
-            logit_softcap=cfg.attn_logit_softcapping,
-            # Every position tensor this package builds is offset + arange per
-            # row (prefill, chunked prefill, engine buckets, decode, eval).
-            contiguous_positions=True,
-        )
+        if ring_axis is not None:
+            # Sequence-parallel prefill: this shard's fresh K/V circulate
+            # around the mesh ring; the cache above holds only local slots.
+            from ..parallel.sp import ring_attention
+
+            axis_name, n_shards = ring_axis
+            attn = ring_attention(
+                q, k_loc, v_loc, positions, seq_lens,
+                axis=axis_name,
+                n_shards=n_shards,
+                scale=cfg.attn_scale,
+                sliding_window=(
+                    window if window is not None else cfg.sliding_window
+                ),
+                k_scale=ks_loc,
+                v_scale=vs_loc,
+                logit_softcap=cfg.attn_logit_softcapping,
+            )
+        else:
+            attn = attention(
+                q,
+                layer_cache.k,
+                layer_cache.v,
+                positions,
+                seq_lens,
+                scale=cfg.attn_scale,
+                sliding_window=window if window is not None else cfg.sliding_window,
+                k_scale=layer_cache.k_scale,
+                v_scale=layer_cache.v_scale,
+                logit_softcap=cfg.attn_logit_softcapping,
+                # Every position tensor this package builds is offset + arange per
+                # row (prefill, chunked prefill, engine buckets, decode, eval).
+                contiguous_positions=True,
+            )
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.q_dim)
     # Row-parallel projections: keep partials in fp32 through the TP psum,
     # cast once after the reduction (matches single-device numerics).
@@ -1094,6 +1125,8 @@ def forward(
     last_only: bool = False,
     lora=None,
     adapter_ids=None,  # [B] int32 — banked multi-LoRA (see _lora_delta)
+    ring_axis=None,  # (axis name, n_shards): SP ring attention (parallel/sp)
+    cache_positions=None,  # [B, S] local cache-slot indices (SP prefill)
 ) -> Tuple[jax.Array, KVCache]:
     """General step: embeds tokens, runs all layers via scan, returns logits.
 
@@ -1145,6 +1178,7 @@ def forward(
         x, layer_cache = _layer_forward(
             cfg, x, lp, layer_cache, positions, seq_lens, c, sn, reduce_fn,
             ll=ll, adapter_ids=adapter_ids, window=window,
+            ring_axis=ring_axis, cache_positions=cache_positions,
         )
         return x, layer_cache
 
