@@ -716,8 +716,15 @@ class _LazyNpzEntry:
             # releases; these are the stable API for the same job).
             if version == (1, 0):
                 shape, _, _ = np.lib.format.read_array_header_1_0(f)
-            else:
+            elif version == (2, 0):
                 shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            else:
+                # Self-written members are always 1.0; a hard error beats
+                # silently parsing e.g. a (3,0) utf8 header as 2.0.
+                raise ValueError(
+                    f"unsupported .npy format version {version} for "
+                    f"member {name!r}"
+                )
         self.shape = tuple(shape)
         self.ndim = len(self.shape)
         self._view_dtype = view_dtype

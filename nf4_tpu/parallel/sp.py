@@ -155,9 +155,16 @@ def sp_prefill(
     tokens: jax.Array,  # [B, S] int32, S % n_shards == 0
     mesh: Mesh,
     axis: str = "sp",
+    seq_lens: Optional[jax.Array] = None,  # [B] per-row prompt lengths
 ):
     """Sequence-parallel prefill: tokens sharded on S over ``mesh[axis]``,
     weights replicated, attention via :func:`ring_attention`.
+
+    ``seq_lens`` supports right-padded batches: row ``i`` attends only to
+    its first ``seq_lens[i]`` tokens (pad slots are invisible, exactly like
+    the engine's prefill convention) and its returned logits are taken at
+    position ``seq_lens[i] - 1`` — whichever sequence shard owns it.
+    Default: every row is the full ``S`` tokens.
 
     Returns ``(last_logits [B, V] fp32, cache, seq_lens)`` with the cache in
     the standard engine layout ([L, B, KV, max_seq_len, D], prompt slots
@@ -170,6 +177,11 @@ def sp_prefill(
     assert s % n == 0, f"prompt length {s} must divide over {n} sp shards"
     assert s <= cfg.max_seq_len
     sl = s // n
+    if seq_lens is None:
+        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
+    else:
+        seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
+        assert seq_lens.shape == (b,), "seq_lens must be [B]"
     L = cfg.num_layers
     kv_shape = (L, b, cfg.num_kv_heads, sl, cfg.head_dim)
 
@@ -189,38 +201,39 @@ def sp_prefill(
     sc_spec = P(None, None, None, axis) if cfg.kv_quant else None
     cache_specs = KVCache(k=kv_spec, v=kv_spec, k_scale=sc_spec, v_scale=sc_spec)
 
-    def run(tokens_l):
+    def run(tokens_l, lens):
         sidx = jax.lax.axis_index(axis)
         offset = sidx * sl
         local = jnp.arange(sl, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(local + offset, (b, sl))
         cache_pos = jnp.broadcast_to(local, (b, sl))
-        seq_lens = jnp.full((b,), s, dtype=jnp.int32)
         logits, new_cache = forward(
             params,
             cfg,
             tokens_l,
             local_cache(),
             positions,
-            seq_lens,
+            lens,
             last_only=True,
             ring_axis=(axis, n),
             cache_positions=cache_pos,
         )
-        # Only the last shard's "last token" is the sequence's last token;
-        # one [B, V] psum replicates it everywhere.
+        # Each row's last valid token lives on shard (len-1)//sl
+        # (``last_only`` already picked the right LOCAL row there); one
+        # [B, V] psum of the owner rows replicates the answer everywhere.
+        owner = (lens - 1) // sl == sidx
         logits = jax.lax.psum(
-            jnp.where(sidx == n - 1, logits.astype(jnp.float32), 0.0), axis
+            jnp.where(owner[:, None], logits.astype(jnp.float32), 0.0), axis
         )
         return logits, new_cache
 
     logits, cache_s = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(None, axis),),
+        in_specs=(P(None, axis), P()),
         out_specs=(P(), cache_specs),
         check_vma=False,
-    )(tokens)
+    )(tokens, seq_lens)
 
     full = init_kv_cache(cfg, b)
     full = KVCache(
@@ -237,4 +250,4 @@ def sp_prefill(
             else full.v_scale.at[:, :, :, :s].set(cache_s.v_scale)
         ),
     )
-    return logits, full, jnp.full((b,), s, dtype=jnp.int32)
+    return logits, full, seq_lens

@@ -200,6 +200,14 @@ class CompletionServer:
         def on_token(req_idx: int, tok: int):
             q = streams.get(req_idx)
             if q is not None:
+                if gen_wave[req_idx].cancelled:
+                    # The SSE handler returned on disconnect and nothing
+                    # will ever drain this queue — stop feeding it and drop
+                    # the buffered tokens instead of holding dead memory
+                    # until the cancel lands in the engine.
+                    streams.pop(req_idx, None)
+                    gen_wave[req_idx].stream_q = None
+                    return
                 q.put(tok)
 
         def cancel(req_idx: int) -> bool:
@@ -290,7 +298,9 @@ class CompletionServer:
         for p, r in zip(gen_wave, results):
             p.result = r
             self.stats["tokens_out"] += len(r.tokens)
-            if p.cancelled:
+            # A socket can close AFTER its request finished normally; only
+            # an unfinished result was actually cut short by the cancel.
+            if p.cancelled and not r.finished:
                 self.stats["cancelled"] += 1
         for p in wave:
             if p.stream_q is not None:
@@ -436,10 +446,16 @@ class CompletionServer:
     def _choice(self, p: _Pending, index: int) -> Dict[str, Any]:
         r = p.result
         out_tokens = (list(p.tokens) if p.echo else []) + list(r.tokens)
+        if r.finished:
+            finish = "stop"
+        elif p.cancelled:
+            finish = "abort"  # cut short by client disconnect (vLLM's name)
+        else:
+            finish = "length"
         choice: Dict[str, Any] = {
             "index": index,
             "tokens": out_tokens,
-            "finish_reason": "stop" if r.finished else "length",
+            "finish_reason": finish,
         }
         text = self._decode_text(out_tokens)
         if text is not None:

@@ -186,6 +186,29 @@ class TestHTTPDisconnect:
             out = json.loads(resp.read())
         assert len(out["choices"][0]["tokens"]) == 4
 
+    def test_cancelled_finish_reason_abort(self, served):
+        """A cancelled-and-unfinished request reports finish_reason
+        'abort' (vLLM's name), distinguishable from budget exhaustion;
+        a request whose socket closed AFTER finishing stays 'stop'."""
+        from nf4_tpu.serve.api import _Pending
+        from nf4_tpu.serve.engine import GenerationResult
+        from nf4_tpu.serve.sampling import SamplingParams as SP
+
+        _, server = served
+        cut = _Pending(tokens=[1, 2], params=SP(), logprobs=False)
+        cut.cancelled = True
+        cut.result = GenerationResult([1, 2], [7, 8], False)
+        assert server._choice(cut, 0)["finish_reason"] == "abort"
+
+        late_close = _Pending(tokens=[1, 2], params=SP(), logprobs=False)
+        late_close.cancelled = True
+        late_close.result = GenerationResult([1, 2], [7, 8], True)
+        assert server._choice(late_close, 0)["finish_reason"] == "stop"
+
+        budget = _Pending(tokens=[1, 2], params=SP(), logprobs=False)
+        budget.result = GenerationResult([1, 2], [7, 8], False)
+        assert server._choice(budget, 0)["finish_reason"] == "length"
+
     def test_metrics_exposes_cancelled_counter(self, served):
         addr, server = served
         with urllib.request.urlopen(

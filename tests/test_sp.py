@@ -128,3 +128,38 @@ class TestSpPrefill:
         toks = jnp.zeros((1, 30), dtype=jnp.int32)  # 30 % 4 != 0
         with pytest.raises(AssertionError, match="divide"):
             sp_prefill(init_params(TINY_TEST, seed=0), TINY_TEST, toks, mesh)
+
+    def test_right_padded_rows(self, mesh, tokens):
+        """Per-row seq_lens: a right-padded batch attends only to real
+        tokens and returns each row's logits at position len-1 — matching
+        the single-device engine prefill convention, including lengths
+        whose last token lands on an interior sequence shard."""
+        cfg = TINY_TEST
+        params = init_params(cfg, seed=0)
+        # Row 0 full; row 1's last token sits inside shard 1 of 4.
+        lens = jnp.asarray([S, S // 2 - 3], dtype=jnp.int32)
+        toks = np.asarray(tokens).copy()
+        toks[1, int(lens[1]):] = 0  # pad tokens must not influence output
+        toks = jnp.asarray(toks)
+
+        from nf4_tpu.models.llama import forward, init_kv_cache
+
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        want_logits, _ = forward(
+            params, cfg, toks, init_kv_cache(cfg, B), positions, lens,
+            last_only=True,
+        )
+        got_logits, _, out_lens = sp_prefill(
+            params, cfg, toks, mesh, axis="sp", seq_lens=lens
+        )
+        np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(lens))
+        g, w = np.asarray(got_logits), np.asarray(want_logits)
+        np.testing.assert_allclose(g, w, rtol=2e-2, atol=2e-2 * np.abs(w).max())
+        np.testing.assert_array_equal(g.argmax(-1), w.argmax(-1))
+        # Pad-token independence: different pad content, identical logits.
+        toks2 = np.asarray(toks).copy()
+        toks2[1, int(lens[1]):] = 7
+        got2, _, _ = sp_prefill(
+            params, cfg, jnp.asarray(toks2), mesh, axis="sp", seq_lens=lens
+        )
+        np.testing.assert_array_equal(np.asarray(got2), g)
