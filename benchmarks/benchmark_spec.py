@@ -94,6 +94,18 @@ def main():
     ap.add_argument("--engine", action="store_true",
                     help="also measure engine end-to-end plain vs spec on "
                     "the best-case (self-repetitive) greedy workload")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="engine-arm sampling temperature (>0 exercises "
+                    "the device-chained stochastic rejection-sampling "
+                    "chunks; acceptance drops with entropy)")
+    ap.add_argument("--no-adaptive", action="store_true",
+                    help="disable the adaptive controller on the spec arms "
+                    "(spec_min_accept=0): the always-on comparison arm for "
+                    "adversarial workloads")
+    ap.add_argument("--max-new-tokens", type=int, default=96,
+                    help="engine-arm tokens per request (long runs, e.g. "
+                    "512, expose the adaptive controller's backoff on "
+                    "adversarial workloads)")
     args = ap.parse_args()
 
     cfg = configs.get_config(args.model)
@@ -141,24 +153,46 @@ def main():
     if args.engine:
         from nf4_tpu.serve.engine import Engine
 
-        print("\n--- engine end-to-end (best-case repetitive workload) ---")
+        from nf4_tpu.serve.sampling import SamplingParams
+
+        sp = SamplingParams(temperature=args.temperature)
+        mode = (
+            "greedy" if args.temperature == 0.0
+            else f"temperature={args.temperature}"
+        )
+        print(
+            "\n--- engine end-to-end (best-case repetitive workload, "
+            f"{mode}) ---"
+        )
         for b in batches:
             prompts = [[1 + i, 2 + i, 3 + i] * 4 for i in range(b)]
             rows = []
             for k in [0] + ks:
                 eng = Engine(params, cfg, batch_size=b, eos_token=-1, spec_k=k)
-                eng.generate(prompts, max_new_tokens=96)  # warm/compile
-                eng.spec_stats = {"steps": 0, "emitted": 0}
+                if args.no_adaptive:
+                    eng.spec_min_accept = 0.0
+                new = args.max_new_tokens
+                eng.generate(prompts, max_new_tokens=new, sampling=sp)  # warm
+                eng.spec_stats.update(steps=0, emitted=0, pauses=0)
+                eng._spec_pause = 0  # measured run starts un-paused
+                eng._spec_backoff = 0
                 t0 = time.perf_counter()
-                res = eng.generate(prompts, max_new_tokens=96)
+                res = eng.generate(prompts, max_new_tokens=new, sampling=sp)
                 dt = time.perf_counter() - t0
                 ntok = sum(len(r.tokens) for r in res)
                 s = eng.spec_stats
-                mean_acc = s["emitted"] / s["steps"] - 1 if s["steps"] else 0.0
+                # steps counts VERIFY STEPS (not slot-steps); emitted sums
+                # over all B slots — normalize per slot for the mean.
+                mean_acc = (
+                    s["emitted"] / (s["steps"] * b) - 1 if s["steps"] else 0.0
+                )
                 rows.append((k, ntok / dt, mean_acc))
             base_tps = rows[0][1]
             for k, tps, acc in rows:
                 tag = "plain" if k == 0 else f"spec_k={k} (mean acc {acc:.2f})"
+                # Note: with adaptive speculation (engine default), a
+                # low-acceptance run spends most rounds on plain chunks —
+                # mean acc then reflects only the probe steps.
                 print(
                     f"  batch {b:3d} {tag:28s}: {tps:8.1f} tok/s "
                     f"({tps / base_tps:.2f}x)"

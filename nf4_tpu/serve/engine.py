@@ -168,13 +168,17 @@ def _mask_record(mask, toks, active):
 
 
 def _decode_multi_impl(
-    params, token, cache, positions, gen_mask, keys, *, step, sampling,
-    n_steps, top_lp_k=0,
+    params, token, cache, positions, gen_mask, keys, active, *, step,
+    sampling, n_steps, top_lp_k=0,
 ):
     """Run ``n_steps`` decode+sample iterations on-device (one host sync per
     chunk instead of per token — the host readback dominates small-model
-    decode).  All slots are assumed active; returns (tokens [n, B],
-    logprobs [n, B], cache, positions, gen_mask)."""
+    decode).  ``active [B]`` bool: idle slots ride along frozen (token and
+    position held, KV garbage overwrites one already-stale cache row slot)
+    — decode is weight-bound, so a partially-idle chunk costs what a full
+    one does, and the tail of a wave keeps chunk speed after early slots
+    retire.  Returns (tokens [n, B], logprobs [n, B], cache, positions,
+    gen_mask)."""
     from .sampling import sample
 
     def body(carry, key_i):
@@ -185,14 +189,16 @@ def _decode_multi_impl(
             nxt = sample(lg, sampling, generated_mask=mask)
         else:
             nxt = sample(lg, sampling, key_i, generated_mask=mask)
+        nxt = jnp.where(active, nxt, tok)
         lpf = jax.nn.log_softmax(lg, axis=-1)
         lp = lpf[jnp.arange(lg.shape[0]), nxt]
         if mask is not None:
-            mask = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
+            hit = mask.at[jnp.arange(mask.shape[0]), nxt].set(True)
+            mask = jnp.where(active[:, None], hit, mask)
         ys = (nxt, lp) + (
             tuple(jax.lax.top_k(lpf, top_lp_k)) if top_lp_k else ()
         )
-        return (nxt, cache, pos + 1, mask), ys
+        return (nxt, cache, pos + active.astype(pos.dtype), mask), ys
 
     (tok, cache, pos, mask), ys = jax.lax.scan(
         body, (token, cache, positions, gen_mask), keys, length=n_steps
@@ -204,14 +210,15 @@ def _decode_multi_impl(
 
 def _decode_multi_impl_batched(
     params, token, cache, positions, gen_mask, keys, bp, step_idx, bias,
-    *, step, n_steps, top_lp_k=0,
+    active, *, step, n_steps, top_lp_k=0,
 ):
     """Per-request variant of :func:`_decode_multi_impl`: sampling
     parameters arrive as a traced :class:`BatchedSampling` pytree (one row
     per slot), so ONE compilation per chunk length serves every parameter
     mix.  ``step_idx`` [B] carries each slot's generated-token count so
     seeded rows stay reproducible across chunk boundaries; ``bias`` is
-    the per-slot dense logit-bias grid (or None)."""
+    the per-slot dense logit-bias grid (or None); ``active [B]`` freezes
+    idle slots (see :func:`_decode_multi_impl`)."""
 
     def body(carry, key_i):
         tok, cache, pos, mask, sidx = carry
@@ -221,15 +228,17 @@ def _decode_multi_impl_batched(
             lg, bp, key_i, generated_mask=mask, step_idx=sidx,
             logit_bias=bias,
         )
+        nxt = jnp.where(active, nxt, tok)
         lpf = jax.nn.log_softmax(lg, axis=-1)
         lp = lpf[jnp.arange(lg.shape[0]), nxt]
         if mask is not None:
             upd = mask.at[jnp.arange(mask.shape[0]), nxt]
-            mask = upd.set(True) if mask.dtype == jnp.bool_ else upd.add(1)
+            hit = upd.set(True) if mask.dtype == jnp.bool_ else upd.add(1)
+            mask = jnp.where(active[:, None], hit, mask)
         ys = (nxt, lp) + (
             tuple(jax.lax.top_k(lpf, top_lp_k)) if top_lp_k else ()
         )
-        return (nxt, cache, pos + 1, mask, sidx + 1), ys
+        return (nxt, cache, pos + active.astype(pos.dtype), mask, sidx + 1), ys
 
     (tok, cache, pos, mask, _sidx), ys = jax.lax.scan(
         body,
@@ -334,9 +343,29 @@ class Engine:
         self._spec_cache = {}
         self._spec_chunk_cache = {}
         self._spec_sampled_cache = {}
+        self._spec_chunk_sampled_cache = {}
+        # Adaptive speculation: prompt-lookup acceptance is workload-
+        # dependent (high on self-repetitive output, ~zero on novel text),
+        # and a verify step costs 1.02-1.19x a decode step — so when the
+        # measured mean acceptance per verify step drops below
+        # ``spec_min_accept``, speculation pauses for ``spec_cooldown``
+        # scheduling rounds (plain chunked decode serves them), then
+        # probes again.  Consecutive failed probes BACK OFF exponentially
+        # (cooldown doubles up to ``spec_cooldown_max``; any good probe
+        # resets it) — so a persistently adversarial workload pays the
+        # probe tax at a vanishing rate and floats at ~plain throughput,
+        # while a workload that turns repetitive is rediscovered within
+        # one capped cooldown.  Every output contract is unaffected
+        # (greedy stays token-identical and sampled marginals are
+        # preserved on BOTH paths).
+        self.spec_min_accept = 0.15
+        self.spec_cooldown = 8
+        self.spec_cooldown_max = 128
+        self._spec_pause = 0
+        self._spec_backoff = 0  # current cooldown (0 = reset to base)
         # Observability: verify steps taken / tokens emitted through them
         # (ratio emitted/steps = mean tokens per verify = the speedup lever).
-        self.spec_stats = {"steps": 0, "emitted": 0}
+        self.spec_stats = {"steps": 0, "emitted": 0, "pauses": 0}
         # Shared-prefix caching: when all prompts of a generate() call share
         # a token prefix (few-shot / RAG / long system prompt), prefill it
         # ONCE, broadcast its KV to every slot, and prefill only each
@@ -1183,6 +1212,13 @@ class Engine:
                 _refresh_rows()
             if not any(r != -1 for r in slot_req):
                 break
+            # Active-slot view for the chunked fast paths below: idle slots
+            # (queue drained, early finishers) ride along FROZEN inside the
+            # compiled chunks — decode is weight-bound, so a partially-idle
+            # chunk costs what a full one does, and the tail of a wave
+            # keeps chunk speed instead of collapsing to per-token syncs.
+            act = np.asarray([r != -1 for r in slot_req])
+            act_idx = [s for s in range(B) if act[s]]
 
             # Speculative fast path: draft spec_k tokens per slot by prompt
             # lookup, verify them all in ONE forward, emit the accepted
@@ -1215,15 +1251,45 @@ class Engine:
                 for p in active_sps
             )
             spec_greedy = all(p.temperature == 0.0 for p in active_sps)
-            if (
+            spec_eligible = (
                 self.spec_k > 0
                 and spec_ok
                 and top_lp_k == 0
-                and not any(slot_dynamic)
-                and all(r != -1 for r in slot_req)
-                and int(cfg.max_seq_len - 1 - slot_pos.max()) >= self.spec_k + 1
-            ):
+                and not any(slot_dynamic[s] for s in act_idx)
+                and int(cfg.max_seq_len - 1 - slot_pos[act].max())
+                >= self.spec_k + 1
+            )
+            if spec_eligible and self._spec_pause > 0:
+                # Adaptive speculation is cooling down after a low-
+                # acceptance probe: plain chunked decode serves the
+                # cooldown.  The pause is measured in CHUNKS (the plain
+                # paths below decrement it per consumed chunk/step and
+                # break their pipelined loop on expiry to re-probe) —
+                # counting scheduler rounds would let one pipelined
+                # plain run swallow the whole cooldown unobserved.
+                spec_eligible = False
+            if spec_eligible:
                 k = self.spec_k
+                acc_samples: List[float] = []
+
+                def _spec_adapt():
+                    """After a spec round, pause speculation when the
+                    measured mean acceptance fell below breakeven; back
+                    off exponentially on consecutive failed probes."""
+                    if not acc_samples:
+                        return
+                    mean_acc = sum(acc_samples) / len(acc_samples)
+                    if mean_acc < self.spec_min_accept:
+                        self._spec_backoff = min(
+                            self.spec_cooldown_max,
+                            (self._spec_backoff * 2) or self.spec_cooldown,
+                        )
+                        self._spec_pause = self._spec_backoff
+                        self.spec_stats["pauses"] = (
+                            self.spec_stats.get("pauses", 0) + 1
+                        )
+                    else:
+                        self._spec_backoff = 0
 
                 # CHAINED device chunks (greedy only): n verify steps with
                 # DEVICE-side n-gram drafting per step — one host sync per
@@ -1233,6 +1299,21 @@ class Engine:
                 # on small models.  Token-identical to plain greedy decode
                 # (the greedy accept rule is draft-independent).
                 n = self.decode_chunk
+                # Re-probe after a FAILED probe with SHORT chunks: a probe
+                # only needs an acceptance sample, so 2 verify steps per
+                # chunk instead of decode_chunk makes probing ~n/2 times
+                # cheaper (measured: full-length re-probes cost 0.97x ->
+                # 0.85x of plain on a permanently-adversarial stream).
+                # Only once the wave has history — acceptance develops
+                # with generated tokens, so a cold slot (fresh wave or
+                # fresh refill) gets the full-length probe, whose longer
+                # mean is fair to warming-up workloads.  One extra
+                # compiled program per (k, 2), cached.
+                probing = self._spec_backoff > 0
+                if probing and n > 2 and min(
+                    len(slot_generated[s]) for s in act_idx
+                ) >= 2 * n:
+                    n = 2
 
                 def spec_room(ahead: int) -> bool:
                     """Context + budget room for a chunk launched ``ahead``
@@ -1240,22 +1321,55 @@ class Engine:
                     the WORST case (every chunk advances n*(k+1)
                     positions); budget mirrors the decode path's rule —
                     a speculative chunk that overshoots a budget is
-                    simply discarded at consume time."""
+                    simply discarded at consume time.  Idle slots are
+                    frozen inside the chunk, so only active slots bound
+                    context/budget."""
                     ctx_ok = int(
-                        cfg.max_seq_len - 1 - int(slot_pos.max())
+                        cfg.max_seq_len - 1 - int(slot_pos[act].max())
                     ) >= (ahead + 1) * n * (k + 1)
                     rem = min(
                         req_budget[slot_req[s]] - len(slot_generated[s])
-                        for s in range(B)
+                        for s in act_idx
                     ) - ahead * n
                     return ctx_ok and rem >= n
 
-                if spec_greedy and n > 1 and spec_room(0):
+                if n > 1 and spec_room(0):
+                    act_dev = jnp.asarray(act)
+                    if spec_greedy:
 
-                    def spec_launch(tok_d, hist_d, cache_in, pos_d):
-                        """Dispatch one n-step spec chunk (no readback)."""
-                        return self._spec_chunk(k, n)(
-                            self.params, tok_d, hist_d, cache_in, pos_d
+                        def spec_launch(tok_d, hist_d, cache_in, pos_d,
+                                        key_d=None):
+                            """Dispatch one n-step spec chunk (no readback)."""
+                            return self._spec_chunk(k, n)(
+                                self.params, tok_d, hist_d, cache_in, pos_d,
+                                act_dev,
+                            )
+                    else:
+                        # Stochastic waves chain the SAME way: the chunk
+                        # carries the PRNG key (one split per step, accept-
+                        # count-independent), rejection sampling per
+                        # position — distribution-preserving and still one
+                        # host sync per chunk.  bp is a traced pytree; it
+                        # only changes at refill, which never happens
+                        # inside the pipelined loop below.
+                        bp_now = BatchedSampling.stack(
+                            slot_sp if per_req is not None else [sampling] * B
+                        )
+
+                        def spec_launch(tok_d, hist_d, cache_in, pos_d,
+                                        key_d):
+                            return self._spec_chunk_sampled(k, n)(
+                                self.params, tok_d, hist_d, cache_in,
+                                pos_d, key_d, bp_now, act_dev,
+                            )
+
+                    def spec_relaunch(out):
+                        """Launch the follow-up chunk from a finished
+                        chunk's device handles (incl. the advanced key for
+                        stochastic chunks)."""
+                        return spec_launch(
+                            out[5], out[4], out[3], out[6],
+                            out[7] if len(out) > 7 else None,
                         )
 
                     def spec_consume(out) -> bool:
@@ -1265,11 +1379,12 @@ class Engine:
                         targets_d, acc_d, lps_d, cache = out[:4]
                         targets = np.asarray(targets_d)  # [n, B, k+1]
                         acc = np.asarray(acc_d)  # [n, B]
+                        acc_samples.append(float(acc[:, act_idx].mean()))
                         if return_logprobs:
                             lps = np.asarray(lps_d)
                         self.spec_stats["steps"] += n
                         finished = False
-                        for s in range(B):
+                        for s in act_idx:
                             r = slot_req[s]
                             stop_hit = False
                             for i in range(n):
@@ -1306,16 +1421,54 @@ class Engine:
                             )
                         return finished
 
-                    hist = np.zeros((B, cfg.max_seq_len), dtype=np.int32)
-                    for s in range(B):
-                        ctx = list(prompts[slot_req[s]]) + slot_generated[s]
-                        hist[s, : len(ctx)] = ctx
-                    cur = spec_launch(
-                        jnp.asarray(cur_token),
-                        jnp.asarray(hist),
-                        cache,
-                        jnp.asarray(slot_pos),
-                    )
+                    def launch_from_host():
+                        """Launch a chunk from CURRENT host state (initial
+                        chunk, and unpipelined probe continuations)."""
+                        hist = np.zeros((B, cfg.max_seq_len), dtype=np.int32)
+                        for s in act_idx:
+                            ctx = (
+                                list(prompts[slot_req[s]]) + slot_generated[s]
+                            )
+                            hist[s, : len(ctx)] = ctx
+                        if spec_greedy:
+                            chunk_key = None
+                        else:
+                            self._key, chunk_key = jax.random.split(self._key)
+                        return spec_launch(
+                            jnp.asarray(cur_token),
+                            jnp.asarray(hist),
+                            cache,
+                            jnp.asarray(slot_pos),
+                            chunk_key,
+                        )
+
+                    cur = launch_from_host()
+                    def successor_safe() -> bool:
+                        """The in-flight chunk cannot retire any slot on
+                        budget, so its pipelined successor cannot be
+                        discarded for budget reasons.  Spec chunks burn a
+                        VARIABLE 1..k+1 tokens per step — gating the
+                        successor on the worst case matters: at high
+                        acceptance nearly every chunk finishes someone,
+                        and a discarded successor is n verify steps of
+                        pure waste (measured erasing the whole spec win
+                        at b=8).  Stop tokens can still force a discard —
+                        unpredictable, best effort."""
+                        return all(
+                            req_budget[slot_req[s]] - len(slot_generated[s])
+                            > n * (k + 1)
+                            for s in act_idx
+                        )
+
+                    # While probing (see the short-chunk note above) no
+                    # pipelined successor launches — a failed probe then
+                    # discards nothing; grace chunks still emit >= 1
+                    # token/step, so an unpipelined probe costs ~the
+                    # verify premium, not n wasted steps.  Acceptance
+                    # still gets its grace: it develops with generated
+                    # history, and a workload that warms up mid-probe
+                    # must be rediscoverable.
+
                     # Pipeline spec chunks exactly like decode chunks:
                     # chunk c+1 launches from chunk c's device handles
                     # (token, history, cache, positions are all outputs)
@@ -1323,20 +1476,59 @@ class Engine:
                     # discards the speculative successor rollback-free.
                     while True:
                         nxt = None
-                        if self.pipeline_decode and spec_room(1):
-                            nxt = spec_launch(cur[5], cur[4], cur[3], cur[6])
+                        if (
+                            self.pipeline_decode
+                            and spec_room(1)
+                            and successor_safe()
+                            and not probing
+                        ):
+                            nxt = spec_relaunch(cur)
                             self.pipeline_stats["launched"] += 1
                         finished = spec_consume(cur)
+                        # Eager adaptation: when the RUNNING MEAN sits
+                        # below breakeven, exit the spec loop NOW
+                        # (discarding at most one in-flight successor)
+                        # instead of riding the budget gate for several
+                        # more wasted chunks.  One chunk of grace —
+                        # prompt-lookup acceptance develops as generated
+                        # history accumulates, so the first chunk alone
+                        # must not condemn the wave.
+                        low_acc = (
+                            self.spec_min_accept > 0.0
+                            and len(acc_samples) >= 2
+                            and sum(acc_samples) / len(acc_samples)
+                            < self.spec_min_accept
+                        )
                         if nxt is None:
+                            if (
+                                probing
+                                and not finished
+                                and not low_acc
+                                and len(acc_samples) < 2
+                                and spec_room(0)
+                                and not _cancel_hit()
+                            ):
+                                # Probe grace: continue UNPIPELINED (host-
+                                # synced) so a failed probe discards
+                                # nothing.  At most one continuation —
+                                # after 2 chunks the running mean decides.
+                                cur = launch_from_host()
+                                continue
+                            # A passed probe ends the round here;
+                            # _spec_adapt resets the backoff and the NEXT
+                            # scheduler round re-enters the spec path
+                            # fully pipelined (cost: one extra host sync,
+                            # once per recovery).
                             break
-                        if finished or _cancel_hit():
+                        if finished or low_acc or _cancel_hit():
                             self.pipeline_stats["discarded"] += 1
                             break
                         cur = nxt
+                    _spec_adapt()
                     continue
 
                 drafts = np.zeros((B, k), dtype=np.int32)
-                for s in range(B):
+                for s in act_idx:
                     ctx = list(prompts[slot_req[s]]) + slot_generated[s]
                     drafts[s] = propose_ngram(ctx, k, self.spec_ngram)
                 if spec_greedy:
@@ -1365,10 +1557,11 @@ class Engine:
                     )
                 targets = np.asarray(targets_d)  # [B, k+1]
                 acc = np.asarray(acc_d)  # [B]
+                acc_samples.append(float(acc[act].mean()))
                 if return_logprobs:
                     lps = np.asarray(lps_d)
                 self.spec_stats["steps"] += 1
-                for s in range(B):
+                for s in act_idx:
                     r = slot_req[s]
                     n_emit = int(acc[s]) + 1
                     # Same mid-chunk invariant as the multi-step path: a
@@ -1390,6 +1583,7 @@ class Engine:
                             break
                     slot_pos[s] += n_emit
                     cur_token[s] = int(targets[s, n_emit - 1])
+                _spec_adapt()
                 continue
 
             # Multi-step fast path: when every slot is busy and has >= 2
@@ -1409,21 +1603,28 @@ class Engine:
             # chunk's outputs are already the authoritative state.  Costs
             # one extra in-flight KV-cache buffer while a speculative chunk
             # is live.
-            if self.decode_chunk > 1 and all(r != -1 for r in slot_req):
+            if self.decode_chunk > 1:
                 # Fixed chunk size only (each distinct n compiles its own
-                # program); the tail of a budget single-steps.
+                # program); the tail of a budget single-steps.  Idle slots
+                # ride along FROZEN (active mask into the chunk program):
+                # decode is weight-bound, so a partially-idle chunk costs
+                # what a full one does, and a wave whose slots finish at
+                # different times keeps chunk speed instead of collapsing
+                # to per-token host syncs.
                 n = self.decode_chunk
 
                 def chunk_ok(ahead: int) -> bool:
                     """Is a chunk launched ``ahead`` whole chunks past the
                     CURRENT host state guaranteed safe (enough budget and
-                    context for every slot, token bans static across it)?"""
+                    context for every active slot, token bans static
+                    across it)?"""
                     rem = min(
                         req_budget[slot_req[s]] - len(slot_generated[s])
-                        for s in range(B)
+                        for s in act_idx
                     ) - ahead * n
                     ctx_room = int(
-                        cfg.max_seq_len - 1 - (int(slot_pos.max()) + ahead * n)
+                        cfg.max_seq_len - 1
+                        - (int(slot_pos[act].max()) + ahead * n)
                     )
                     ban_static = all(
                         not slot_dynamic[s]
@@ -1432,7 +1633,7 @@ class Engine:
                             and len(slot_generated[s]) + (ahead + 1) * n
                             <= slot_sp[s].min_new_tokens
                         )
-                        for s in range(B)
+                        for s in act_idx
                     )
                     return rem >= n and ctx_room >= n and ban_static
 
@@ -1440,8 +1641,11 @@ class Engine:
                     stoch = (
                         sampling.temperature != 0.0
                         if per_req is None
-                        else any(p.temperature != 0.0 for p in slot_sp)
+                        else any(
+                            slot_sp[s].temperature != 0.0 for s in act_idx
+                        )
                     )
+                    act_dev = jnp.asarray(act)
 
                     def launch(tok_dev, cache_in, mask_in, ahead: int):
                         """Dispatch one n-step chunk; returns the device
@@ -1451,11 +1655,11 @@ class Engine:
                             keys = jax.random.split(sub, n)
                         else:
                             keys = jax.random.split(jax.random.PRNGKey(0), n)
-                        pos_in = jnp.asarray(slot_pos + ahead * n)
+                        pos_in = jnp.asarray(slot_pos + ahead * n * act)
                         if per_req is None:
                             return self._decode_multi(sampling, n, top_lp_k)(
                                 self.params, tok_dev, cache_in, pos_in,
-                                mask_in, keys,
+                                mask_in, keys, act_dev,
                             )
                         return self._decode_multi_b(n, top_lp_k)(
                             self.params, tok_dev, cache_in, pos_in, mask_in,
@@ -1469,6 +1673,7 @@ class Engine:
                                 dtype=jnp.int32,
                             ),
                             slot_bias,
+                            act_dev,
                         )
 
                     def consume(out) -> bool:
@@ -1492,9 +1697,9 @@ class Engine:
                         # refill/retire.  (The pipelined path preserves it:
                         # a speculative chunk is adopted only when this
                         # function reports no slot finished.)
-                        slot_pos += n
+                        slot_pos[act] += n
                         finished = False
-                        for s in range(B):
+                        for s in act_idx:
                             r = slot_req[s]
                             for i in range(n):
                                 t = int(toks[i, s])
@@ -1523,14 +1728,34 @@ class Engine:
                             cur_token[s] = int(toks[n - 1, s])
                         return finished
 
+                    # Serving the spec cooldown: decrement it per consumed
+                    # chunk and break on expiry so the scheduler re-probes
+                    # speculation (costs one discarded successor, at the
+                    # backed-off probe frequency).
+                    reprobe = self.spec_k > 0 and self._spec_pause > 0
+
                     cur = launch(jnp.asarray(cur_token), cache, gen_mask, 0)
                     while True:
                         nxt = None
-                        if self.pipeline_decode and chunk_ok(1):
+                        # When the spec cooldown expires at THIS consume,
+                        # skip the successor launch so the break below
+                        # discards nothing (a discarded chunk is n wasted
+                        # decode steps — measured ~6% of an adversarial
+                        # 512-token wave at the probe cadence).
+                        expiring = reprobe and self._spec_pause <= 1
+                        if (
+                            self.pipeline_decode
+                            and chunk_ok(1)
+                            and not expiring
+                        ):
                             # cur = (toks_d, lps_d, tops_d, cache, pos, mask)
                             nxt = launch(cur[0][n - 1], cur[3], cur[5], 1)
                             self.pipeline_stats["launched"] += 1
                         finished = consume(cur)
+                        if reprobe:
+                            self._spec_pause -= 1
+                            if self._spec_pause <= 0:
+                                break  # nxt is None: nothing discarded
                         if nxt is None:
                             break
                         if finished or _cancel_hit():
@@ -1543,7 +1768,9 @@ class Engine:
                     continue
 
             # One decode step for the whole batch (idle slots step harmlessly
-            # at position 0 and are ignored).
+            # at their frozen position and are ignored).
+            if self._spec_pause > 0:
+                self._spec_pause -= 1  # single steps serve the cooldown too
             logits, cache = self._decode(
                 self.params,
                 token=jnp.asarray(cur_token),
@@ -1661,6 +1888,20 @@ class Engine:
                 )
             )
             self._spec_chunk_cache[(k, n_steps)] = fn
+        return fn
+
+    def _spec_chunk_sampled(self, k: int, n_steps: int):
+        fn = self._spec_chunk_sampled_cache.get((k, n_steps))
+        if fn is None:
+            from .speculative import spec_chunk_sampled
+
+            fn = jax.jit(
+                functools.partial(
+                    spec_chunk_sampled, fwd=self._spec_fwd(), k=k,
+                    n_steps=n_steps, ngram=self.spec_ngram,
+                )
+            )
+            self._spec_chunk_sampled_cache[(k, n_steps)] = fn
         return fn
 
     def _spec_verify_sampled(self, k: int):

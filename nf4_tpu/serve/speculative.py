@@ -51,6 +51,7 @@ __all__ = [
     "spec_verify",
     "spec_verify_sampled",
     "spec_chunk",
+    "spec_chunk_sampled",
 ]
 
 
@@ -145,8 +146,60 @@ def draft_ngram_device(hist, hlen, k: int, max_ngram: int = 3):
     return jnp.take_along_axis(hist, idx, axis=1).astype(jnp.int32)
 
 
+def _chunk_scan(
+    params, cur_token, hist, cache, slot_pos, extra, verify, active,
+    *, k, n_steps, ngram,
+):
+    """Shared scan body for the device-chained spec chunks: per step,
+    draft on device, run ``verify`` (greedy or rejection-sampling — it
+    owns any extra carried state, e.g. the PRNG key), write all k+1
+    emitted-or-stale tokens after the consumed prefix, advance.
+
+    ``hist [B, S]`` carries each slot's full token context with
+    ``slot_pos + 1`` valid entries (``hist[b, slot_pos[b]]`` IS
+    ``cur_token[b]``).  Stale-tail contract matches :func:`spec_verify`:
+    all k+1 tokens of a step are written to history/cache; only
+    ``accepted + 1`` advance the lengths, and the next step's writes
+    cover the stale region.
+
+    ``active [B]`` bool (None = all): idle slots ride along FROZEN —
+    token and position held, their verify writes garbage KV at a fixed
+    already-stale window (invisible to attention: it sits at/above the
+    retired content's seq_len and any refill prefill overwrites below) —
+    so a wave keeps chunk speed after early slots retire.
+    """
+
+    def body(carry, _):
+        tok, hist, cache, pos, extra = carry
+        drafts = draft_ngram_device(hist, pos + 1, k, ngram)
+        targets, accepted, lps, cache, extra = verify(
+            params, tok, drafts, cache, pos, extra
+        )
+        b_idx = jnp.arange(tok.shape[0], dtype=jnp.int32)
+        widx = (pos + 1)[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+        widx = jnp.minimum(widx, hist.shape[1] - 1)
+        hist = hist.at[b_idx[:, None], widx].set(targets)
+        nxt = targets[b_idx, accepted]
+        adv = accepted + 1
+        if active is not None:
+            nxt = jnp.where(active, nxt, tok)
+            adv = adv * active.astype(adv.dtype)
+        return (nxt, hist, cache, pos + adv, extra), (
+            targets, accepted, lps,
+        )
+
+    (tok, hist, cache, pos, extra), (targets, accepted, lps) = jax.lax.scan(
+        body,
+        (cur_token, hist, cache, slot_pos, extra),
+        None,
+        length=n_steps,
+    )
+    return targets, accepted, lps, cache, hist, tok, pos, extra
+
+
 def spec_chunk(
-    params, cur_token, hist, cache, slot_pos, *, fwd, k, n_steps, ngram=3
+    params, cur_token, hist, cache, slot_pos, active=None,
+    *, fwd, k, n_steps, ngram=3,
 ):
     """``n_steps`` chained GREEDY spec-verify steps fully on device (jit
     this): draft on device (:func:`draft_ngram_device`), verify
@@ -156,41 +209,60 @@ def spec_chunk(
     emitted tokens); on rigs where that sync rivals the step time (see
     PERF_NOTES) it erases the speculative win — this chunk restores it.
 
-    ``hist [B, S]`` carries each slot's full token context with
-    ``slot_pos + 1`` valid entries (``hist[b, slot_pos[b]]`` IS
-    ``cur_token[b]``).  Stale-tail contract matches :func:`spec_verify`:
-    all k+1 tokens of a step are written to history/cache; only
-    ``accepted + 1`` advance the lengths, and the next step's writes
-    cover the stale region.
+    History/cache stale-tail contract: see :func:`_chunk_scan`.
 
     Returns (targets [n, B, k+1], accepted [n, B], logprobs [n, B, k+1],
     cache, hist, cur_token [B], slot_pos [B]) — the trailing device
     handles let a follow-up chunk launch without a readback.
     """
 
-    def body(carry, _):
-        tok, hist, cache, pos = carry
-        drafts = draft_ngram_device(hist, pos + 1, k, ngram)
+    def verify(params, tok, drafts, cache, pos, extra):
         targets, accepted, lps, cache = spec_verify(
             params, tok, drafts, cache, pos, fwd=fwd, k=k
         )
-        b_idx = jnp.arange(tok.shape[0], dtype=jnp.int32)
-        # Write all k+1 emitted-or-stale tokens after the consumed prefix.
-        widx = (pos + 1)[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
-        widx = jnp.minimum(widx, hist.shape[1] - 1)
-        hist = hist.at[b_idx[:, None], widx].set(targets)
-        nxt = targets[b_idx, accepted]
-        return (nxt, hist, cache, pos + accepted + 1), (
-            targets, accepted, lps,
-        )
+        return targets, accepted, lps, cache, extra
 
-    (tok, hist, cache, pos), (targets, accepted, lps) = jax.lax.scan(
-        body,
-        (cur_token, hist, cache, slot_pos),
-        None,
-        length=n_steps,
+    return _chunk_scan(
+        params, cur_token, hist, cache, slot_pos, None, verify, active,
+        k=k, n_steps=n_steps, ngram=ngram,
+    )[:7]
+
+
+def spec_chunk_sampled(
+    params, cur_token, hist, cache, slot_pos, key, bp, active=None,
+    *, fwd, k, n_steps, ngram=3,
+):
+    """Stochastic counterpart of :func:`spec_chunk` (jit this): ``n_steps``
+    chained draft + rejection-sampling verify steps fully on device — one
+    host sync per chunk instead of per verify step.
+
+    Each step splits the carried PRNG key, drafts on device
+    (:func:`draft_ngram_device`) and verifies via
+    :func:`spec_verify_sampled` — so the emitted marginal at every
+    position is exactly the row's filtered sampling distribution (greedy
+    rows reduce to the argmax rule; mixed batches are fine).  Key
+    consumption is per STEP (one split each), independent of accept
+    counts, so chaining is deterministic given the chunk's input key.
+
+    History/cache stale-tail contract: see :func:`_chunk_scan`.
+
+    Returns (targets [n, B, k+1], accepted [n, B], logprobs [n, B, k+1],
+    cache, hist, cur_token [B], slot_pos [B], key) — the trailing device
+    handles (INCLUDING the advanced key) let a pipelined follow-up chunk
+    launch without a readback.
+    """
+
+    def verify(params, tok, drafts, cache, pos, key):
+        key, sub = jax.random.split(key)
+        targets, accepted, lps, cache = spec_verify_sampled(
+            params, tok, drafts, cache, pos, sub, bp, fwd=fwd, k=k
+        )
+        return targets, accepted, lps, cache, key
+
+    return _chunk_scan(
+        params, cur_token, hist, cache, slot_pos, key, verify, active,
+        k=k, n_steps=n_steps, ngram=ngram,
     )
-    return targets, accepted, lps, cache, hist, tok, pos
 
 
 def spec_verify(params, cur_token, drafts, cache, slot_pos, *, fwd, k):

@@ -116,6 +116,52 @@ class TestPipelinedDecode:
         assert a == b
         assert all(len(t) == 10 for t in a)
 
+    def test_idle_slots_keep_chunking(self, setup):
+        """Heterogeneous budgets: after the short request retires (queue
+        empty), the surviving slot keeps CHUNKED decode — idle slots ride
+        along frozen inside the compiled chunk — instead of collapsing to
+        per-token host syncs.  Output token-identical to solo runs."""
+        cfg, params = setup
+        prompts = [[1, 2, 3], [4, 5]]
+        budgets = [SamplingParams(max_new_tokens=4),
+                   SamplingParams(max_new_tokens=20)]
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1, decode_chunk=4)
+        res = eng.generate(prompts, max_new_tokens=20, sampling=budgets)
+        assert len(res[0].tokens) == 4 and len(res[1].tokens) == 20
+        # The 16-token tail runs as 4 chunks; the pipelined lookahead
+        # launches for it (it cannot launch while the short request's
+        # budget caps chunk_ok(1)).  Without idle-slot chunking this is 0.
+        assert eng.pipeline_stats["launched"] >= 3
+        for p, r in zip(prompts, res):
+            solo = Engine(
+                params, cfg, batch_size=1, eos_token=-1, decode_chunk=4
+            ).generate([p], max_new_tokens=len(r.tokens))[0]
+            assert r.tokens == solo.tokens
+
+    def test_idle_slot_refills_after_frozen_chunks(self, setup):
+        """A slot that idled through frozen chunks serves a later admitted
+        request token-identically (its garbage KV window is invisible /
+        overwritten by the refill prefill)."""
+        cfg, params = setup
+        fed = []
+
+        def admit(features):
+            # Admit once the wave is already running with slot 1 idle.
+            if fed:
+                return []
+            fed.append(True)
+            return [([7, 8, 9], SamplingParams(max_new_tokens=6), None)]
+
+        eng = Engine(params, cfg, batch_size=2, eos_token=-1, decode_chunk=4)
+        res = eng.generate(
+            [[1, 2, 3]], max_new_tokens=16, admit=admit,
+        )
+        assert len(res) == 2 and fed
+        solo = Engine(
+            params, cfg, batch_size=1, eos_token=-1, decode_chunk=4
+        ).generate([[7, 8, 9]], max_new_tokens=6)[0]
+        assert res[1].tokens == solo.tokens
+
     def test_eos_default_engine(self, setup):
         """The stock engine (pipeline on by default) still honors EOS."""
         cfg, params = setup

@@ -145,6 +145,71 @@ class TestVerifySampledUnit:
         np.testing.assert_allclose(freq, p, atol=0.04)
 
 
+class TestChunkSampledUnit:
+    def test_every_step_marginal_is_target_distribution(self):
+        """spec_chunk_sampled chains verify steps on device; with a stub
+        forward whose logits are position/history-independent, the FIRST
+        emitted token of every chained step must still be distributed
+        exactly as p (the per-step key split preserves the theorem)."""
+        from nf4_tpu.serve.speculative import spec_chunk_sampled
+
+        V, k, n_steps, S = 4, 1, 3, 32
+        logits_row = jnp.asarray([[1.2, 0.3, -0.5, 0.8]], jnp.float32)
+        logits = jnp.broadcast_to(logits_row, (1, k + 1, V))
+        p = np.asarray(jax.nn.softmax(logits_row, axis=-1))[0]
+        bp = BatchedSampling.stack([SamplingParams(temperature=1.0)])
+        hist = jnp.zeros((1, S), jnp.int32)
+
+        def run(key):
+            targets, accepted, _, _, _, _, _, _ = spec_chunk_sampled(
+                None,
+                jnp.zeros(1, jnp.int32),
+                hist,
+                None,
+                jnp.zeros(1, jnp.int32),
+                key,
+                bp,
+                fwd=_stub_fwd(logits),
+                k=k,
+                n_steps=n_steps,
+            )
+            return targets[:, 0, 0]  # first emitted token of each step
+
+        n = 4000
+        keys = jax.random.split(jax.random.PRNGKey(7), n)
+        toks = np.asarray(jax.vmap(jax.jit(run))(keys))  # [n, n_steps]
+        for step in range(n_steps):
+            freq = np.bincount(toks[:, step], minlength=V) / n
+            np.testing.assert_allclose(freq, p, atol=0.04)
+
+    def test_greedy_rows_chain_argmax(self):
+        """temperature-0 rows through the chained sampled path emit the
+        stub's argmax at every position of every step."""
+        from nf4_tpu.serve.speculative import spec_chunk_sampled
+
+        V, k, n_steps, S = 5, 2, 3, 32
+        logits_row = jnp.asarray([[0.1, 2.0, -1.0, 0.5, 0.0]], jnp.float32)
+        logits = jnp.broadcast_to(logits_row, (1, k + 1, V))
+        bp = BatchedSampling.stack([SamplingParams()])  # greedy
+        targets, accepted, _, _, _, tok, pos, _ = spec_chunk_sampled(
+            None,
+            jnp.zeros(1, jnp.int32),
+            jnp.zeros((1, S), jnp.int32),
+            None,
+            jnp.zeros(1, jnp.int32),
+            jax.random.PRNGKey(0),
+            bp,
+            fwd=_stub_fwd(logits),
+            k=k,
+            n_steps=n_steps,
+        )
+        t, a = np.asarray(targets), np.asarray(accepted)
+        for step in range(n_steps):
+            emitted = t[step, 0, : a[step, 0] + 1]  # past that: stale drafts
+            assert np.all(emitted == 1), (step, t[step])
+        assert int(tok[0]) == 1
+
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = configs.TINY_TEST

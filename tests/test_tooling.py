@@ -85,6 +85,35 @@ def test_installer_smoke():
     assert install.smoke_test()
 
 
+def test_benchmark_http_load():
+    """Poisson-arrival HTTP load harness end-to-end over real sockets:
+    every request completes, token counts match the budget, TTFT/E2E
+    percentiles are sane and ordered."""
+    from benchmark_http import run_load
+    from nf4_tpu.models.configs import TINY_TEST
+    from nf4_tpu.models.llama import init_params
+    from nf4_tpu.serve.api import CompletionServer
+    from nf4_tpu.serve.engine import Engine
+
+    engine = Engine(
+        init_params(TINY_TEST, seed=0), TINY_TEST, batch_size=2, eos_token=-1
+    )
+    server = CompletionServer(engine)
+    port = server.start(port=0)
+    try:
+        stats = run_load(
+            port, rate=50.0, n_requests=5, prompt_len=4, max_tokens=6,
+            vocab=TINY_TEST.vocab_size,
+        )
+    finally:
+        server.stop()
+    assert stats["errors"] == []
+    assert stats["completed"] == 5
+    assert stats["tokens"] == 5 * 6
+    assert 0 < stats["ttft_p50_s"] <= stats["e2e_p50_s"]
+    assert stats["e2e_p50_s"] <= stats["e2e_max_s"]
+
+
 def test_measure_chained_s():
     import jax.numpy as jnp
 
