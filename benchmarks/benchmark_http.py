@@ -32,9 +32,13 @@ import argparse
 import dataclasses
 import http.client
 import json
+import os
 import random
+import sys
 import threading
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _percentile(xs, q):
@@ -204,14 +208,21 @@ def main(argv=None):
     server = CompletionServer(engine)
     port = server.start(port=0)
     try:
-        # Warm the compile caches so measured TTFT is serving latency, not
-        # XLA compilation (first prefill bucket + decode chunk programs).
-        warm = run_load(
-            port, rate=1000.0, n_requests=min(args.batch_size, 4),
-            prompt_len=args.prompt_len, max_tokens=8,
-            vocab=cfg.vocab_size, temperature=args.temperature, seed=99,
-        )
-        assert not warm["errors"], warm["errors"]
+        # Warm the compile caches so measured TTFT is serving latency,
+        # not XLA compilation.  The bursts replay the measured run's
+        # program shapes exactly — full-wave burst at the REAL token
+        # budget (budget changes the chunk/tail mix), then 2- and
+        # 1-request bursts for the smaller refill prefill groups that
+        # mid-wave admissions compile ({4, 2, 1}); a cold program would
+        # otherwise stall the whole queue mid-measurement (measured:
+        # 21.8 -> 557 tok/s on an 8-burst once every shape is warm).
+        for nburst in (args.batch_size, 2, 1):
+            warm = run_load(
+                port, rate=1000.0, n_requests=nburst,
+                prompt_len=args.prompt_len, max_tokens=args.max_tokens,
+                vocab=cfg.vocab_size, temperature=args.temperature, seed=99,
+            )
+            assert not warm["errors"], warm["errors"]
         for key in ("waves", "admitted"):
             server.stats[key] = 0
         stats = run_load(
