@@ -244,6 +244,13 @@ class CompletionServer:
                 self.stats["admitted"] += 1
             return admitted
 
+        # Engine chunk loops poll this between pipelined chunks: break
+        # out to refill as soon as a request is WAITING and a slot is
+        # idle, instead of riding out a long run (see Engine.generate's
+        # admit docs).  queue.empty() is approximate but cheap — a false
+        # negative only delays admission by one chunk.
+        admit.peek = lambda: not self._queue.empty()
+
         try:
             from .engine import GenerationResult
 

@@ -701,7 +701,15 @@ class Engine:
         wait for the whole wave.  ``features`` describes what machinery
         this call compiled in; callers must only admit requests for which
         :meth:`admissible` is True (asserted) — incompatible requests wait
-        for the next call, which builds whatever they need.
+        for the next call, which builds whatever they need.  When the
+        ``admit`` callable additionally exposes a ``peek()`` attribute
+        (``admit.peek() -> bool``, True when work is waiting), the
+        pipelined chunk loops poll it between chunks and break out to
+        refill as soon as a request is waiting AND a slot is idle —
+        without it, a request arriving while idle slots ride frozen
+        through a long pipelined run waits for the run to end (the loop
+        otherwise only exits on a retirement).  The HTTP dispatcher wires
+        this to its queue; plain callables keep the old cadence.
 
         ``cancel(request_idx) -> bool``, when given, is polled at every
         host sync: a request reporting True retires immediately (its
@@ -981,6 +989,20 @@ class Engine:
             to the retirement check within one chunk of a cancel."""
             return cancel is not None and any(
                 slot_req[s] != -1 and cancel(slot_req[s]) for s in range(B)
+            )
+
+        admit_peek = getattr(admit, "peek", None) if admit is not None else None
+
+        def _admit_waiting() -> bool:
+            """A request is waiting AND an idle slot could take it —
+            polled between pipelined chunks (admit hooks exposing
+            ``peek()`` only; see the generate() docstring) so a newcomer
+            joins within one chunk instead of waiting out a long run
+            whose idle slots ride frozen."""
+            return (
+                admit_peek is not None
+                and any(r == -1 for r in slot_req)
+                and bool(admit_peek())
             )
 
         def refill(slots_tokens):
@@ -1476,11 +1498,13 @@ class Engine:
                     # discards the speculative successor rollback-free.
                     while True:
                         nxt = None
+                        waiting = _admit_waiting()
                         if (
                             self.pipeline_decode
                             and spec_room(1)
                             and successor_safe()
                             and not probing
+                            and not waiting
                         ):
                             nxt = spec_relaunch(cur)
                             self.pipeline_stats["launched"] += 1
@@ -1502,6 +1526,7 @@ class Engine:
                         if nxt is None:
                             if (
                                 probing
+                                and not waiting
                                 and not finished
                                 and not low_acc
                                 and len(acc_samples) < 2
@@ -1738,15 +1763,18 @@ class Engine:
                     while True:
                         nxt = None
                         # When the spec cooldown expires at THIS consume,
+                        # or a waiting request could take an idle slot,
                         # skip the successor launch so the break below
                         # discards nothing (a discarded chunk is n wasted
                         # decode steps — measured ~6% of an adversarial
                         # 512-token wave at the probe cadence).
                         expiring = reprobe and self._spec_pause <= 1
+                        waiting = _admit_waiting()
                         if (
                             self.pipeline_decode
                             and chunk_ok(1)
                             and not expiring
+                            and not waiting
                         ):
                             # cur = (toks_d, lps_d, tops_d, cache, pos, mask)
                             nxt = launch(cur[0][n - 1], cur[3], cur[5], 1)
@@ -1757,7 +1785,7 @@ class Engine:
                             if self._spec_pause <= 0:
                                 break  # nxt is None: nothing discarded
                         if nxt is None:
-                            break
+                            break  # incl. waiting admits: refill takes over
                         if finished or _cancel_hit():
                             # Drop the speculative chunk: nothing to roll
                             # back — its outputs were never adopted and the

@@ -72,6 +72,77 @@ class TestEngineAdmit:
         assert len(results) == 1 and len(results[0].tokens) == 3
         assert len(calls) >= 1  # at least the initial refill polls
 
+    def test_peek_admits_into_frozen_idle_slot_mid_run(self, params):
+        """With ``admit.peek``, a request that arrives while an idle slot
+        rides frozen through a pipelined chunk run is admitted within a
+        chunk — its tokens interleave with the running request's —
+        instead of waiting for the run to end."""
+        eng = make_engine(params, decode_chunk=4)
+        order = []  # (request_idx, token) in emission order
+        fed = []
+        arrived = []
+
+        def admit(features):
+            if fed or not arrived:
+                return []
+            fed.append(True)
+            return [([9, 8, 7], SamplingParams(max_new_tokens=8), None)]
+
+        def peek():
+            # "Arrives" once the running request has emitted a few
+            # tokens — i.e. mid-chunk-run, with slot 1 idle-frozen.
+            if not arrived and len(order) >= 4:
+                arrived.append(True)
+            return bool(arrived) and not fed
+
+        admit.peek = peek
+
+        res = eng.generate(
+            [[3, 1, 4]], max_new_tokens=48, admit=admit,
+            on_token=lambda r, t: order.append((r, t)),
+        )
+        assert len(res) == 2 and fed
+        assert len(res[1].tokens) == 8
+        first_new = next(i for i, (r, _) in enumerate(order) if r != 0)
+        last_r0 = max(i for i, (r, _) in enumerate(order) if r == 0)
+        assert first_new < last_r0, (
+            "admitted request's tokens should interleave with the running "
+            "request (admitted mid-run, not after it)"
+        )
+
+    def test_peek_admits_during_spec_chunk_run(self, params):
+        """Same contract through the SPECULATIVE chunk loop: a waiting
+        request breaks a pipelined spec run at the next chunk when a
+        slot is idle."""
+        eng = make_engine(params, decode_chunk=4, spec_k=2)
+        eng.spec_min_accept = 0.0  # keep spec engaged regardless of acc
+        order = []
+        fed = []
+        arrived = []
+
+        def admit(features):
+            if fed or not arrived:
+                return []
+            fed.append(True)
+            return [([9, 8, 7], SamplingParams(max_new_tokens=8), None)]
+
+        def peek():
+            if not arrived and len(order) >= 4:
+                arrived.append(True)
+            return bool(arrived) and not fed
+
+        admit.peek = peek
+
+        res = eng.generate(
+            [[3, 1, 4] * 3], max_new_tokens=48, admit=admit,
+            on_token=lambda r, t: order.append((r, t)),
+        )
+        assert len(res) == 2 and fed
+        assert len(res[1].tokens) == 8
+        first_new = next(i for i, (r, _) in enumerate(order) if r != 0)
+        last_r0 = max(i for i, (r, _) in enumerate(order) if r == 0)
+        assert first_new < last_r0
+
     def test_incompatible_admission_asserts(self, params):
         """admit() returning a request the call cannot serve is a caller
         bug — loud assertion, not silent misbehavior."""
