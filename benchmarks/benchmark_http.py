@@ -107,13 +107,15 @@ def run_load(
     temperature: float = 0.0,
     seed: int = 0,
     host: str = "127.0.0.1",
+    shared_prefix=(),
 ):
     """Drive a running CompletionServer with Poisson arrivals; returns the
     stats dict (also used by the CLI below and the smoke test)."""
     rng = random.Random(seed)
     gaps = [rng.expovariate(rate) for _ in range(n_requests)]
     prompts = [
-        [rng.randrange(1, vocab) for _ in range(prompt_len)]
+        list(shared_prefix)
+        + [rng.randrange(1, vocab) for _ in range(prompt_len)]
         for _ in range(n_requests)
     ]
     records = [dict() for _ in range(n_requests)]
@@ -177,6 +179,19 @@ def main(argv=None):
     ap.add_argument("--rate", type=float, default=4.0, help="arrivals/s")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--prompt-len", type=int, default=16)
+    ap.add_argument("--shared-prefix-len", type=int, default=0,
+                    help="tokens of a COMMON prefix prepended to every "
+                    "prompt (few-shot / system-prompt workload); pair "
+                    "with --prefix-cache to measure shared-prefix reuse")
+    ap.add_argument("--batch-window", type=float, default=0.05,
+                    help="dispatcher dynamic-batching grace (s): wait this "
+                    "long after a fresh wave's first request for more to "
+                    "arrive (bigger window -> fuller initial waves and "
+                    "prefix-cache engagement; costs that much TTFT when "
+                    "traffic is sparse)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="Engine(prefix_cache=True): prefill the shared "
+                    "prefix once per wave and broadcast its KV")
     ap.add_argument("--max-tokens", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
@@ -203,9 +218,13 @@ def main(argv=None):
 
     engine = Engine(
         params, cfg, batch_size=args.batch_size, eos_token=-1,
-        spec_k=args.spec_k,
+        spec_k=args.spec_k, prefix_cache=args.prefix_cache,
     )
-    server = CompletionServer(engine)
+    shared_prefix = tuple(
+        random.Random(7).randrange(1, cfg.vocab_size)
+        for _ in range(args.shared_prefix_len)
+    )
+    server = CompletionServer(engine, batch_window=args.batch_window)
     port = server.start(port=0)
     try:
         # Warm the compile caches so measured TTFT is serving latency,
@@ -221,6 +240,7 @@ def main(argv=None):
                 port, rate=1000.0, n_requests=nburst,
                 prompt_len=args.prompt_len, max_tokens=args.max_tokens,
                 vocab=cfg.vocab_size, temperature=args.temperature, seed=99,
+                shared_prefix=shared_prefix,
             )
             assert not warm["errors"], warm["errors"]
         for key in ("waves", "admitted"):
@@ -229,7 +249,7 @@ def main(argv=None):
             port, rate=args.rate, n_requests=args.requests,
             prompt_len=args.prompt_len, max_tokens=args.max_tokens,
             vocab=cfg.vocab_size, temperature=args.temperature,
-            seed=args.seed,
+            seed=args.seed, shared_prefix=shared_prefix,
         )
     finally:
         server.stop()
@@ -261,6 +281,11 @@ def main(argv=None):
         f"{server.stats['admitted']} mid-wave admissions, "
         f"{server.stats['tokens_out']} tokens out"
     )
+    if args.prefix_cache:
+        print(
+            f"prefix cache: len {engine.prefix_stats['prefix_len']}, "
+            f"{engine.prefix_stats['tokens_saved']} prefill tokens saved"
+        )
     return 0 if not stats["errors"] else 1
 
 

@@ -133,11 +133,20 @@ class CompletionServer:
         model_name: str = "nf4-tpu",
         max_wave: int = 64,
         adapters: Optional[Dict[str, int]] = None,
+        batch_window: float = 0.01,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.max_wave = max_wave
+        # Dynamic-batching grace: after the first request of a FRESH wave,
+        # wait up to this long (seconds) for more to arrive before
+        # launching.  A near-simultaneous burst then starts as ONE wave —
+        # grouped prefills instead of N single-slot admission prefills,
+        # and the engine's shared-prefix cache can engage (it needs >= 2
+        # prompts at call start).  Costs at most this much extra TTFT for
+        # a lone request; deferred requests from a previous wave skip it.
+        self.batch_window = batch_window
         # Multi-LoRA model multiplexing: map OpenAI "model" names to bank
         # indices of an Engine(lora_bank=...) — each fine-tune is its own
         # served model id, all multiplexed over ONE frozen 4-bit base
@@ -164,15 +173,28 @@ class CompletionServer:
     # -- dispatcher ---------------------------------------------------------
 
     def _dispatch_loop(self):
+        import time as _time
+
         carry: List[_Pending] = []  # deferred by the previous wave
         while not self._shutdown.is_set():
             wave = carry
             carry = []
-            if not wave:
+            fresh = not wave
+            if fresh:
                 try:
                     wave.append(self._queue.get(timeout=0.05))
                 except queue.Empty:
                     continue
+                # Dynamic-batching grace (see __init__.batch_window).
+                deadline = _time.monotonic() + self.batch_window
+                while len(wave) < self.max_wave:
+                    left = deadline - _time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        wave.append(self._queue.get(timeout=left))
+                    except queue.Empty:
+                        break
             while len(wave) < self.max_wave:
                 try:
                     wave.append(self._queue.get_nowait())
