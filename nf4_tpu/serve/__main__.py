@@ -196,6 +196,12 @@ def main(argv=None, block=True):
                     help="speculative decoding: prompt-lookup draft length")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="prefill shared prompt prefixes once per wave")
+    ap.add_argument("--batch-window", type=float, default=0.01,
+                    help="dispatcher dynamic-batching grace (s): wait this "
+                    "long after a fresh wave's first request for more "
+                    "arrivals (fuller initial waves; lets --prefix-cache "
+                    "engage on bursts; costs <= this much TTFT when "
+                    "traffic is sparse)")
     ap.add_argument("--temperature", type=float, default=0.0,
                     help="default sampling temperature (0 = greedy)")
     ap.add_argument("--eos", type=int, default=None,
@@ -206,7 +212,8 @@ def main(argv=None, block=True):
 
     from .api import CompletionServer
 
-    server = CompletionServer(engine, tokenizer, model_name=args.model_name)
+    server = CompletionServer(engine, tokenizer, model_name=args.model_name,
+                              batch_window=args.batch_window)
     port = server.start(args.host, args.port)
     print(f"serving on http://{args.host}:{port} "
           f"(model={args.model_name}, slots={args.batch_size})",
