@@ -102,6 +102,11 @@ def main():
                     help="disable the adaptive controller on the spec arms "
                     "(spec_min_accept=0): the always-on comparison arm for "
                     "adversarial workloads")
+    ap.add_argument("--draft", default=None,
+                    help="registry config name of a DRAFT model for the "
+                    "engine arm (synthetic weights, vocab matched to the "
+                    "target, int8-recoded when --int8): draft-model "
+                    "speculation instead of prompt lookup")
     ap.add_argument("--max-new-tokens", type=int, default=96,
                     help="engine-arm tokens per request (long runs, e.g. "
                     "512, expose the adaptive controller's backoff on "
@@ -126,6 +131,25 @@ def main():
         params = jax.block_until_ready(recode_params_int8(params))
         wbytes *= 2
         print("weights: int8-recode (2x stream bytes)")
+
+    draft = None
+    if args.draft:
+        dcfg = dataclasses.replace(
+            configs.get_config(args.draft),
+            max_seq_len=cfg.max_seq_len,
+            vocab_size=cfg.vocab_size,
+        )
+        t0 = time.perf_counter()
+        dparams = (
+            synthetic_params(dcfg) if args.synthetic
+            else init_params(dcfg, seed=1)
+        )
+        if args.int8:
+            from nf4_tpu.models.llama import recode_params_int8
+
+            dparams = jax.block_until_ready(recode_params_int8(dparams))
+        draft = (dparams, dcfg)
+        print(f"draft: {args.draft} ({time.perf_counter() - t0:.1f}s)")
 
     batches = [int(s) for s in args.batch_sizes.split(",")]
     ks = [int(s) for s in args.ks.split(",")]
@@ -168,7 +192,8 @@ def main():
             prompts = [[1 + i, 2 + i, 3 + i] * 4 for i in range(b)]
             rows = []
             for k in [0] + ks:
-                eng = Engine(params, cfg, batch_size=b, eos_token=-1, spec_k=k)
+                eng = Engine(params, cfg, batch_size=b, eos_token=-1,
+                             spec_k=k, draft=draft if k else None)
                 if args.no_adaptive:
                     eng.spec_min_accept = 0.0
                 new = args.max_new_tokens

@@ -144,6 +144,31 @@ def build_engine(args):
     if eos is None:
         eos = 2  # Llama convention
 
+    draft = None
+    if args.draft_packed or args.draft_model:
+        assert args.spec_k > 0, "--draft-* requires --spec-k > 0"
+        assert mesh is None, "draft-model speculation is single-device"
+        t0 = time.monotonic()
+        if args.draft_packed:
+            from ..models.loader import load_packed_auto
+
+            dparams, dcfg = load_packed_auto(
+                args.draft_packed, max_seq_len=cfg.max_seq_len
+            )
+            dsrc = args.draft_packed
+        else:  # --draft-model NAME: synthetic draft weights (testing)
+            from ..models.llama import init_params as _init
+
+            dcfg = dataclasses.replace(
+                configs.get_config(args.draft_model),
+                max_seq_len=cfg.max_seq_len,
+            )
+            dparams = _init(dcfg, seed=0)
+            dsrc = f"synthetic:{args.draft_model}"
+        draft = (dparams, dcfg)
+        print(f"draft model: {dsrc} ({time.monotonic() - t0:.1f}s)",
+              file=sys.stderr)
+
     engine = Engine(
         params,
         cfg,
@@ -153,6 +178,7 @@ def build_engine(args):
         mesh=mesh,
         decode_chunk=args.decode_chunk,
         spec_k=args.spec_k,
+        draft=draft,
         prefix_cache=args.prefix_cache,
     )
     return engine, tokenizer
@@ -193,7 +219,15 @@ def main(argv=None, block=True):
     ap.add_argument("--decode-chunk", type=int, default=8,
                     help="decode steps per host sync")
     ap.add_argument("--spec-k", type=int, default=0,
-                    help="speculative decoding: prompt-lookup draft length")
+                    help="speculative decoding: draft length (prompt-lookup "
+                    "n-gram drafts unless --draft-* gives a draft model)")
+    ap.add_argument("--draft-packed", default=None,
+                    help="packed checkpoint of a small DRAFT model for "
+                    "draft-model speculation (same vocab; implies "
+                    "host-stepped verify; single-device only)")
+    ap.add_argument("--draft-model", default=None,
+                    help="registry config name for a synthetic draft model "
+                    "(testing; real serving should use --draft-packed)")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="prefill shared prompt prefixes once per wave")
     ap.add_argument("--batch-window", type=float, default=0.01,

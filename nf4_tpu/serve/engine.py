@@ -307,6 +307,7 @@ class Engine:
         pipeline_decode: bool = True,
         spec_k: int = 0,
         spec_ngram: int = 3,
+        draft=None,
         prefix_cache: bool = False,
         lora_bank=None,
     ):
@@ -366,6 +367,38 @@ class Engine:
         # Observability: verify steps taken / tokens emitted through them
         # (ratio emitted/steps = mean tokens per verify = the speedup lever).
         self.spec_stats = {"steps": 0, "emitted": 0, "pauses": 0}
+        # DRAFT-MODEL speculation: ``draft=(draft_params, draft_cfg)`` uses
+        # a small LM (greedy) to propose the spec_k drafts instead of
+        # prompt lookup — covers novel text where n-gram lookup never hits.
+        # The draft keeps its own KV cache in LOCKSTEP with the target
+        # (same slot_pos): an accepted position's draft KV is already
+        # correct (the accepted token IS the draft token, computed on the
+        # same accepted prefix), the correction token's KV is written by
+        # the next propose (which processes cur_token first), and rejected
+        # tails are overwritten because the next propose starts exactly at
+        # pos + accepted + 1.  No catch-up forward needed.  Uses the
+        # host-stepped verify path (the device-chained chunks stay
+        # prompt-lookup); single-device engines only for now.
+        self._draft = None
+        if draft is not None:
+            assert spec_k > 0, "draft= requires spec_k > 0"
+            assert mesh is None, "draft-model speculation is single-device"
+            dparams, dcfg = draft
+            assert dcfg.vocab_size == cfg.vocab_size, (
+                "draft and target must share a vocabulary"
+            )
+            assert dcfg.max_seq_len >= cfg.max_seq_len, (
+                "draft max_seq_len must cover the target's"
+            )
+            self._draft = (dparams, dcfg)
+            self._draft_init_cache = functools.partial(
+                init_kv_cache, dcfg, batch_size
+            )
+            self._draft_prefill = jax.jit(
+                functools.partial(self._prefill_impl, cfg=dcfg),
+                static_argnames=("bucket",),
+            )
+            self._draft_propose_cache = {}
         # Shared-prefix caching: when all prompts of a generate() call share
         # a token prefix (few-shot / RAG / long system prompt), prefill it
         # ONCE, broadcast its KV to every slot, and prefill only each
@@ -800,6 +833,16 @@ class Engine:
         results: List[Optional[GenerationResult]] = [None] * len(prompts)
 
         cache = self._init_cache()
+        # Draft-model speculation: the draft LM's own KV cache, kept in
+        # lockstep with slot_pos (see __init__).  draft_pos[s] = positions
+        # the draft cache validly covers (< draft_pos[s]); a slot whose
+        # draft lags (plain rounds during an adaptive pause, or a fully-
+        # accepted run) is caught up by a continuation prefill of the gap
+        # before the next propose.
+        draft_cache = (
+            self._draft_init_cache() if self._draft is not None else None
+        )
+        draft_pos = np.zeros((B,), dtype=np.int64)
 
         # Shared-prefix cache: prefill the common prefix once into slot 0,
         # broadcast its KV row to every slot, then treat each prompt as a
@@ -1009,7 +1052,7 @@ class Engine:
             """Assign queued requests to idle slots, prefilling same-bucket
             groups as real batches (group sizes in {4, 2, 1} so the jit
             compiles a bounded set of (bucket, group) shapes)."""
-            nonlocal cache, gen_mask, slot_bias
+            nonlocal cache, gen_mask, slot_bias, draft_cache
 
             if (
                 admit is not None
@@ -1116,6 +1159,32 @@ class Engine:
                         jnp.full((g,), prefix_len, dtype=jnp.int32),
                         bucket=bucket,
                     )
+                    if draft_cache is not None:
+                        # Draft cache prefills the FULL prompt (the target
+                        # may continue a shared prefix; the draft keeps no
+                        # prefix cache — it is small).
+                        dparams, dcfg = self._draft
+                        full = [p for _s, _r, p, _b in chunk]
+                        dbucket = min(
+                            _bucket(max(len(p) for p in full)),
+                            dcfg.max_seq_len,
+                        )
+                        dtoks = np.zeros((g, dbucket), dtype=np.int32)
+                        dlens = np.zeros((g,), dtype=np.int32)
+                        for j, p in enumerate(full):
+                            dtoks[j, : len(p)] = p
+                            dlens[j] = len(p)
+                        _dl, draft_cache = self._draft_prefill(
+                            dparams,
+                            jnp.asarray(dtoks),
+                            jnp.asarray(dlens),
+                            draft_cache,
+                            jnp.asarray(slots),
+                            jnp.zeros((g,), dtype=jnp.int32),
+                            bucket=dbucket,
+                        )
+                        for (s_, _r3, p_, _b3) in chunk:
+                            draft_pos[s_] = len(p_)
                     if per_req is None:
                         first = np.asarray(
                             self._sample(last_logits, sampling)
@@ -1355,7 +1424,7 @@ class Engine:
                     ) - ahead * n
                     return ctx_ok and rem >= n
 
-                if n > 1 and spec_room(0):
+                if n > 1 and spec_room(0) and self._draft is None:
                     act_dev = jnp.asarray(act)
                     if spec_greedy:
 
@@ -1552,10 +1621,62 @@ class Engine:
                     _spec_adapt()
                     continue
 
-                drafts = np.zeros((B, k), dtype=np.int32)
-                for s in act_idx:
-                    ctx = list(prompts[slot_req[s]]) + slot_generated[s]
-                    drafts[s] = propose_ngram(ctx, k, self.spec_ngram)
+                if self._draft is not None:
+                    dparams, _dcfg = self._draft
+                    # Catch up slots whose draft cache lags slot_pos
+                    # (plain rounds during an adaptive pause advance the
+                    # target without feeding the draft): one grouped
+                    # continuation prefill of the gap tokens per {4,2,1}
+                    # group, per-row start = the stale draft position.
+                    lag = [
+                        s for s in act_idx if draft_pos[s] < slot_pos[s]
+                    ]
+                    i0 = 0
+                    while i0 < len(lag):
+                        g = next(
+                            gg for gg in (4, 2, 1) if len(lag) - i0 >= gg
+                        )
+                        grp = lag[i0 : i0 + g]
+                        i0 += g
+                        gaps = [
+                            int(slot_pos[s] - draft_pos[s]) for s in grp
+                        ]
+                        dbucket = min(
+                            _bucket(max(gaps)), self._draft[1].max_seq_len
+                        )
+                        dtoks = np.zeros((g, dbucket), dtype=np.int32)
+                        starts = np.zeros((g,), dtype=np.int32)
+                        for j, s in enumerate(grp):
+                            ctx = (
+                                list(prompts[slot_req[s]])
+                                + slot_generated[s]
+                            )
+                            gap = ctx[int(draft_pos[s]) : int(slot_pos[s])]
+                            dtoks[j, : len(gap)] = gap
+                            starts[j] = draft_pos[s]
+                        _dl, draft_cache = self._draft_prefill(
+                            dparams,
+                            jnp.asarray(dtoks),
+                            jnp.asarray(gaps, dtype=jnp.int32),
+                            draft_cache,
+                            jnp.asarray(grp, dtype=jnp.int32),
+                            jnp.asarray(starts),
+                            bucket=dbucket,
+                        )
+                        for s in grp:
+                            draft_pos[s] = slot_pos[s]
+                    drafts_d, draft_cache = self._draft_propose(k)(
+                        dparams,
+                        jnp.asarray(cur_token),
+                        draft_cache,
+                        jnp.asarray(slot_pos),
+                    )
+                    drafts = np.asarray(drafts_d)
+                else:
+                    drafts = np.zeros((B, k), dtype=np.int32)
+                    for s in act_idx:
+                        ctx = list(prompts[slot_req[s]]) + slot_generated[s]
+                        drafts[s] = propose_ngram(ctx, k, self.spec_ngram)
                 if spec_greedy:
                     targets_d, acc_d, lps_d, cache = self._spec_verify(k)(
                         self.params,
@@ -1608,6 +1729,14 @@ class Engine:
                             break
                     slot_pos[s] += n_emit
                     cur_token[s] = int(targets[s, n_emit - 1])
+                    if self._draft is not None:
+                        # The propose scan wrote draft KV for positions
+                        # pos..pos+k-1; a fully-accepted run advances to
+                        # pos+k+1, leaving position pos+k for the next
+                        # catch-up (gap of one token).
+                        draft_pos[s] = min(
+                            slot_pos[s], slot_pos[s] - n_emit + k
+                        )
                 _spec_adapt()
                 continue
 
@@ -1902,6 +2031,35 @@ class Engine:
                 functools.partial(spec_verify, fwd=self._spec_fwd(), k=k)
             )
             self._spec_cache[k] = fn
+        return fn
+
+    def _draft_propose(self, k: int):
+        """Jitted draft-model proposal: ``k`` greedy decode steps of the
+        draft LM from (token, cache, positions) — returns (drafts [B, k],
+        cache).  The scan writes the draft's KV for ``token`` and the
+        first k-1 drafts at positions pos..pos+k-1 (see the lockstep
+        invariant in __init__)."""
+        fn = self._draft_propose_cache.get(k)
+        if fn is None:
+            _dparams, dcfg = self._draft
+
+            def propose(params, token, cache, positions):
+                def body(carry, _):
+                    tok, cache, pos = carry
+                    logits, cache = decode_step(
+                        params, token=tok, cache=cache, positions=pos,
+                        cfg=dcfg,
+                    )
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (nxt, cache, pos + 1), nxt
+
+                (_t, cache, _p), drafts = jax.lax.scan(
+                    body, (token, cache, positions), None, length=k
+                )
+                return jnp.moveaxis(drafts, 0, 1), cache
+
+            fn = jax.jit(propose)
+            self._draft_propose_cache[k] = fn
         return fn
 
     def _spec_chunk(self, k: int, n_steps: int):
