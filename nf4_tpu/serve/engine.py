@@ -263,6 +263,14 @@ def _mask_reset(mask, slots, toks):
 _sample_batched_jit = jax.jit(sample_batched)
 
 
+def _draft_dec_wrap(params, token, cache, positions, *, cfg):
+    """Decode-step-shaped forward for the draft LM inside the device-
+    chained draft chunks (jit-hash-stable top-level partial target)."""
+    return decode_step(
+        params, cfg, token=token, cache=cache, positions=positions
+    )
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     return bucket_len(n, minimum)
 
@@ -399,6 +407,8 @@ class Engine:
                 static_argnames=("bucket",),
             )
             self._draft_propose_cache = {}
+            self._spec_chunk_draft_cache = {}
+            self._spec_chunk_draft_sampled_cache = {}
         # Shared-prefix caching: when all prompts of a generate() call share
         # a token prefix (few-shot / RAG / long system prompt), prefill it
         # ONCE, broadcast its KV to every slot, and prefill only each
@@ -843,6 +853,11 @@ class Engine:
             self._draft_init_cache() if self._draft is not None else None
         )
         draft_pos = np.zeros((B,), dtype=np.int64)
+        # Latest spec round's verdict: mean acceptance >= threshold.
+        # Draft-mode waves stay in the probing stance (short unpipelined
+        # chunks) until one round clears it — draft acceptance is model
+        # agreement, not history-dependent (see the probing note below).
+        spec_confident = [False]
 
         # Shared-prefix cache: prefill the common prefix once into slot 0,
         # broadcast its KV row to every slot, then treat each prompt as a
@@ -1370,6 +1385,7 @@ class Engine:
                     if not acc_samples:
                         return
                     mean_acc = sum(acc_samples) / len(acc_samples)
+                    spec_confident[0] = mean_acc >= self.spec_min_accept
                     if mean_acc < self.spec_min_accept:
                         self._spec_backoff = min(
                             self.spec_cooldown_max,
@@ -1401,9 +1417,25 @@ class Engine:
                 # mean is fair to warming-up workloads.  One extra
                 # compiled program per (k, 2), cached.
                 probing = self._spec_backoff > 0
-                if probing and n > 2 and min(
-                    len(slot_generated[s]) for s in act_idx
-                ) >= 2 * n:
+                if (
+                    self._draft is not None
+                    and not spec_confident[0]
+                    and self.spec_min_accept > 0.0
+                ):
+                    # Draft-model acceptance is model agreement, not
+                    # history-dependent like prompt lookup — so a wave
+                    # starts in the probing stance (short unpipelined
+                    # chunks) until one round clears the threshold.
+                    # Full-length cold probes cost ~24 rounds at ~1.6x a
+                    # decode step each before the controller can pause
+                    # (measured 0.71x plain with a useless draft; short
+                    # probes restore the ~0.9x floor).
+                    probing = True
+                if probing and n > 2 and (
+                    self._draft is not None
+                    or min(len(slot_generated[s]) for s in act_idx)
+                    >= 2 * n
+                ):
                     n = 2
 
                 def spec_room(ahead: int) -> bool:
@@ -1424,9 +1456,32 @@ class Engine:
                     ) - ahead * n
                     return ctx_ok and rem >= n
 
-                if n > 1 and spec_room(0) and self._draft is None:
+                if self._draft is not None:
+                    # Restore the draft-KV lockstep before ANY propose
+                    # (chunked or host-stepped): slots whose draft cache
+                    # lags slot_pos (plain rounds during an adaptive
+                    # pause) catch up via grouped continuation prefills.
+                    draft_cache = self._draft_catchup(
+                        draft_cache, draft_pos, act_idx, slot_pos,
+                        prompts, slot_req, slot_generated,
+                    )
+
+                if n > 1 and spec_room(0):
                     act_dev = jnp.asarray(act)
-                    if spec_greedy:
+                    draft_mode = self._draft is not None
+                    if spec_greedy and draft_mode:
+                        dparams, _dcfg = self._draft
+
+                        def spec_launch(tok_d, dstate, cache_in, pos_d,
+                                        key_d=None):
+                            """One n-round draft-model spec chunk — the
+                            draft cache rides the hist tuple slot, so the
+                            relaunch/consume plumbing below is shared."""
+                            return self._spec_chunk_draft(k, n)(
+                                self.params, dparams, tok_d, dstate,
+                                cache_in, pos_d, act_dev,
+                            )
+                    elif spec_greedy:
 
                         def spec_launch(tok_d, hist_d, cache_in, pos_d,
                                         key_d=None):
@@ -1446,13 +1501,26 @@ class Engine:
                         bp_now = BatchedSampling.stack(
                             slot_sp if per_req is not None else [sampling] * B
                         )
+                        if draft_mode:
+                            dparams, _dcfg = self._draft
 
-                        def spec_launch(tok_d, hist_d, cache_in, pos_d,
-                                        key_d):
-                            return self._spec_chunk_sampled(k, n)(
-                                self.params, tok_d, hist_d, cache_in,
-                                pos_d, key_d, bp_now, act_dev,
-                            )
+                            def spec_launch(tok_d, dstate, cache_in,
+                                            pos_d, key_d):
+                                return self._spec_chunk_draft_sampled(
+                                    k, n
+                                )(
+                                    self.params, dparams, tok_d, dstate,
+                                    cache_in, pos_d, key_d, bp_now,
+                                    act_dev,
+                                )
+                        else:
+
+                            def spec_launch(tok_d, hist_d, cache_in,
+                                            pos_d, key_d):
+                                return self._spec_chunk_sampled(k, n)(
+                                    self.params, tok_d, hist_d, cache_in,
+                                    pos_d, key_d, bp_now, act_dev,
+                                )
 
                     def spec_relaunch(out):
                         """Launch the follow-up chunk from a finished
@@ -1466,8 +1534,10 @@ class Engine:
                     def spec_consume(out) -> bool:
                         """Fold one finished spec chunk into host state;
                         True when any slot hit a stop/budget."""
-                        nonlocal cache
+                        nonlocal cache, draft_cache
                         targets_d, acc_d, lps_d, cache = out[:4]
+                        if draft_mode:
+                            draft_cache = out[4]  # lockstep draft KV
                         targets = np.asarray(targets_d)  # [n, B, k+1]
                         acc = np.asarray(acc_d)  # [n, B]
                         acc_samples.append(float(acc[:, act_idx].mean()))
@@ -1510,24 +1580,35 @@ class Engine:
                             cur_token[s] = int(
                                 targets[n - 1, s, int(acc[n - 1, s])]
                             )
+                            if draft_mode:
+                                # The k+1-step propose keeps the draft KV
+                                # covering every position < slot_pos.
+                                draft_pos[s] = slot_pos[s]
                         return finished
 
                     def launch_from_host():
                         """Launch a chunk from CURRENT host state (initial
                         chunk, and unpipelined probe continuations)."""
-                        hist = np.zeros((B, cfg.max_seq_len), dtype=np.int32)
-                        for s in act_idx:
-                            ctx = (
-                                list(prompts[slot_req[s]]) + slot_generated[s]
+                        if draft_mode:
+                            dstate = draft_cache
+                        else:
+                            hist = np.zeros(
+                                (B, cfg.max_seq_len), dtype=np.int32
                             )
-                            hist[s, : len(ctx)] = ctx
+                            for s in act_idx:
+                                ctx = (
+                                    list(prompts[slot_req[s]])
+                                    + slot_generated[s]
+                                )
+                                hist[s, : len(ctx)] = ctx
+                            dstate = jnp.asarray(hist)
                         if spec_greedy:
                             chunk_key = None
                         else:
                             self._key, chunk_key = jax.random.split(self._key)
                         return spec_launch(
                             jnp.asarray(cur_token),
-                            jnp.asarray(hist),
+                            dstate,
                             cache,
                             jnp.asarray(slot_pos),
                             chunk_key,
@@ -1622,51 +1703,9 @@ class Engine:
                     continue
 
                 if self._draft is not None:
-                    dparams, _dcfg = self._draft
-                    # Catch up slots whose draft cache lags slot_pos
-                    # (plain rounds during an adaptive pause advance the
-                    # target without feeding the draft): one grouped
-                    # continuation prefill of the gap tokens per {4,2,1}
-                    # group, per-row start = the stale draft position.
-                    lag = [
-                        s for s in act_idx if draft_pos[s] < slot_pos[s]
-                    ]
-                    i0 = 0
-                    while i0 < len(lag):
-                        g = next(
-                            gg for gg in (4, 2, 1) if len(lag) - i0 >= gg
-                        )
-                        grp = lag[i0 : i0 + g]
-                        i0 += g
-                        gaps = [
-                            int(slot_pos[s] - draft_pos[s]) for s in grp
-                        ]
-                        dbucket = min(
-                            _bucket(max(gaps)), self._draft[1].max_seq_len
-                        )
-                        dtoks = np.zeros((g, dbucket), dtype=np.int32)
-                        starts = np.zeros((g,), dtype=np.int32)
-                        for j, s in enumerate(grp):
-                            ctx = (
-                                list(prompts[slot_req[s]])
-                                + slot_generated[s]
-                            )
-                            gap = ctx[int(draft_pos[s]) : int(slot_pos[s])]
-                            dtoks[j, : len(gap)] = gap
-                            starts[j] = draft_pos[s]
-                        _dl, draft_cache = self._draft_prefill(
-                            dparams,
-                            jnp.asarray(dtoks),
-                            jnp.asarray(gaps, dtype=jnp.int32),
-                            draft_cache,
-                            jnp.asarray(grp, dtype=jnp.int32),
-                            jnp.asarray(starts),
-                            bucket=dbucket,
-                        )
-                        for s in grp:
-                            draft_pos[s] = slot_pos[s]
+                    # (Catch-up already ran before the chunk decision.)
                     drafts_d, draft_cache = self._draft_propose(k)(
-                        dparams,
+                        self._draft[0],
                         jnp.asarray(cur_token),
                         draft_cache,
                         jnp.asarray(slot_pos),
@@ -2031,6 +2070,76 @@ class Engine:
                 functools.partial(spec_verify, fwd=self._spec_fwd(), k=k)
             )
             self._spec_cache[k] = fn
+        return fn
+
+    def _draft_catchup(
+        self, draft_cache, draft_pos, act_idx, slot_pos, prompts,
+        slot_req, slot_generated,
+    ):
+        """Catch up slots whose draft cache lags slot_pos (plain rounds
+        during an adaptive pause advance the target without feeding the
+        draft): one grouped continuation prefill of the gap tokens per
+        {4, 2, 1} group, per-row start = the stale draft position.
+        Mutates ``draft_pos``; returns the advanced draft cache."""
+        dparams, dcfg = self._draft
+        lag = [s for s in act_idx if draft_pos[s] < slot_pos[s]]
+        i0 = 0
+        while i0 < len(lag):
+            g = next(gg for gg in (4, 2, 1) if len(lag) - i0 >= gg)
+            grp = lag[i0 : i0 + g]
+            i0 += g
+            gaps = [int(slot_pos[s] - draft_pos[s]) for s in grp]
+            dbucket = min(_bucket(max(gaps)), dcfg.max_seq_len)
+            dtoks = np.zeros((g, dbucket), dtype=np.int32)
+            starts = np.zeros((g,), dtype=np.int32)
+            for j, s in enumerate(grp):
+                ctx = list(prompts[slot_req[s]]) + slot_generated[s]
+                gap = ctx[int(draft_pos[s]) : int(slot_pos[s])]
+                dtoks[j, : len(gap)] = gap
+                starts[j] = draft_pos[s]
+            _dl, draft_cache = self._draft_prefill(
+                dparams,
+                jnp.asarray(dtoks),
+                jnp.asarray(gaps, dtype=jnp.int32),
+                draft_cache,
+                jnp.asarray(grp, dtype=jnp.int32),
+                jnp.asarray(starts),
+                bucket=dbucket,
+            )
+            for s in grp:
+                draft_pos[s] = slot_pos[s]
+        return draft_cache
+
+    def _draft_fwd(self):
+        _dp, dcfg = self._draft
+        return functools.partial(_draft_dec_wrap, cfg=dcfg)
+
+    def _spec_chunk_draft(self, k: int, n_steps: int):
+        fn = self._spec_chunk_draft_cache.get((k, n_steps))
+        if fn is None:
+            from .speculative import spec_chunk_draft
+
+            fn = jax.jit(
+                functools.partial(
+                    spec_chunk_draft, fwd=self._spec_fwd(),
+                    dfwd=self._draft_fwd(), k=k, n_steps=n_steps,
+                )
+            )
+            self._spec_chunk_draft_cache[(k, n_steps)] = fn
+        return fn
+
+    def _spec_chunk_draft_sampled(self, k: int, n_steps: int):
+        fn = self._spec_chunk_draft_sampled_cache.get((k, n_steps))
+        if fn is None:
+            from .speculative import spec_chunk_draft_sampled
+
+            fn = jax.jit(
+                functools.partial(
+                    spec_chunk_draft_sampled, fwd=self._spec_fwd(),
+                    dfwd=self._draft_fwd(), k=k, n_steps=n_steps,
+                )
+            )
+            self._spec_chunk_draft_sampled_cache[(k, n_steps)] = fn
         return fn
 
     def _draft_propose(self, k: int):

@@ -52,6 +52,8 @@ __all__ = [
     "spec_verify_sampled",
     "spec_chunk",
     "spec_chunk_sampled",
+    "spec_chunk_draft",
+    "spec_chunk_draft_sampled",
 ]
 
 
@@ -262,6 +264,115 @@ def spec_chunk_sampled(
     return _chunk_scan(
         params, cur_token, hist, cache, slot_pos, key, verify, active,
         k=k, n_steps=n_steps, ngram=ngram,
+    )
+
+
+def _draft_chunk_scan(
+    params, dparams, cur_token, dcache, cache, slot_pos, extra, verify,
+    active, *, dfwd, k, n_steps,
+):
+    """Shared scan for the DRAFT-MODEL device-chained chunks: per round,
+    the draft LM proposes greedily on device (an inner scan of k+1
+    decode steps — one extra so a fully-accepted round leaves the draft
+    KV covering every position below the advanced ``slot_pos``), the
+    target verifies, and both caches advance in lockstep.
+
+    Draft-KV invariant (mirrors the host-stepped path,
+    serve/engine.py): accepted positions hold the accepted tokens'
+    draft KV (the accepted token IS the draft token on the same
+    accepted prefix); rejected/stale positions are overwritten by the
+    next round's propose before they are ever attended (write-before-
+    read, positionwise).  ``active`` freezes idle slots exactly like
+    :func:`_chunk_scan` — their propose/verify writes land in stale
+    windows a refill prefill later overwrites.
+
+    Returns (targets [n, B, k+1], accepted [n, B], logprobs, cache,
+    dcache, cur_token, slot_pos, extra) — note the draft cache rides in
+    the tuple slot the prompt-lookup chunks use for ``hist``, so the
+    engine's pipelined relaunch plumbing is shared verbatim.
+    """
+    b_idx = jnp.arange(cur_token.shape[0], dtype=jnp.int32)
+
+    def body(carry, _):
+        tok, dcache, cache, pos, extra = carry
+
+        def dstep(c, _):
+            t, dc, p = c
+            lg, dc = dfwd(dparams, t, dc, p)
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (nxt, dc, p + 1), nxt
+
+        (_t, dcache, _p), ds = jax.lax.scan(
+            dstep, (tok, dcache, pos), None, length=k + 1
+        )
+        drafts = jnp.moveaxis(ds, 0, 1)[:, :k]
+        targets, accepted, lps, cache, extra = verify(
+            params, tok, drafts, cache, pos, extra
+        )
+        nxt = targets[b_idx, accepted]
+        adv = accepted + 1
+        if active is not None:
+            nxt = jnp.where(active, nxt, tok)
+            adv = adv * active.astype(adv.dtype)
+        return (nxt, dcache, cache, pos + adv, extra), (
+            targets, accepted, lps,
+        )
+
+    (tok, dcache, cache, pos, extra), (targets, accepted, lps) = (
+        jax.lax.scan(
+            body,
+            (cur_token, dcache, cache, slot_pos, extra),
+            None,
+            length=n_steps,
+        )
+    )
+    return targets, accepted, lps, cache, dcache, tok, pos, extra
+
+
+def spec_chunk_draft(
+    params, dparams, cur_token, dcache, cache, slot_pos, active=None,
+    *, fwd, dfwd, k, n_steps,
+):
+    """``n_steps`` chained GREEDY draft-model propose+verify rounds fully
+    on device (jit this) — one host sync per chunk instead of per round.
+    See :func:`_draft_chunk_scan` for the draft-KV lockstep contract.
+
+    Returns (targets [n, B, k+1], accepted [n, B], logprobs, cache,
+    dcache, cur_token [B], slot_pos [B])."""
+
+    def verify(params, tok, drafts, cache, pos, extra):
+        targets, accepted, lps, cache = spec_verify(
+            params, tok, drafts, cache, pos, fwd=fwd, k=k
+        )
+        return targets, accepted, lps, cache, extra
+
+    return _draft_chunk_scan(
+        params, dparams, cur_token, dcache, cache, slot_pos, None,
+        verify, active, dfwd=dfwd, k=k, n_steps=n_steps,
+    )[:7]
+
+
+def spec_chunk_draft_sampled(
+    params, dparams, cur_token, dcache, cache, slot_pos, key, bp,
+    active=None, *, fwd, dfwd, k, n_steps,
+):
+    """Stochastic counterpart of :func:`spec_chunk_draft` (jit this):
+    rejection-sampling verify per round, the chunk carries the PRNG key
+    (one split per round, accept-count-independent — pipelined
+    successors launch from the advanced key handle).  The draft proposal
+    stays greedy (a deterministic proposal, the same q the host-stepped
+    path uses).  Returns the greedy tuple plus the advanced key."""
+
+    def verify(params, tok, drafts, cache, pos, key):
+        key, sub = jax.random.split(key)
+        targets, accepted, lps, cache = spec_verify_sampled(
+            params, tok, drafts, cache, pos, sub, bp, fwd=fwd, k=k
+        )
+        return targets, accepted, lps, cache, key
+
+    return _draft_chunk_scan(
+        params, dparams, cur_token, dcache, cache, slot_pos, key,
+        verify, active, dfwd=dfwd, k=k, n_steps=n_steps,
     )
 
 

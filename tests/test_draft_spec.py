@@ -51,11 +51,13 @@ class TestDraftGreedy:
         got = eng.generate(PROMPTS, max_new_tokens=24)
         assert [r.tokens for r in got] == [r.tokens for r in ref]
         s = eng.spec_stats
-        # Full acceptance: every verify step emits k+1 tokens per slot
-        # except the budget-truncated tail (the first token of each
-        # request comes from prefill, so 23 spec tokens per slot).
-        assert s["emitted"] == 2 * 23  # B=2, budget-1 each, all via spec
-        assert s["emitted"] / (s["steps"] * 2) > 3.5  # ~k+1 = 4
+        # Full acceptance: all 23 post-prefill tokens per slot arrive via
+        # spec (B=2), and the device-chained draft chunk serves the whole
+        # budget in ~one chunk (decode_chunk=8 rounds; at k+1=4 per round
+        # 6 rounds suffice — budget-overshoot rounds are discarded at
+        # consume).
+        assert s["emitted"] == 2 * 23
+        assert s["steps"] <= 12  # chunked: not ~1 host round per step
 
     def test_any_draft_is_token_identical(self, params, draft_params):
         """Verify guarantees correctness for ANY draft model."""
